@@ -1,0 +1,113 @@
+"""Typed configuration for the TPU-native RKHS trajectory-optimization engine.
+
+Design: the reference (ref: main.py:13-102) plumbs ~30 argparse flags as
+Python attributes that get closed over inside jitted functions.  We make the
+static/dynamic split explicit instead:
+
+* ``PlannerConfig`` — a frozen, hashable dataclass.  Every field is a
+  *compile-time* constant: shapes (``n_timesteps``, ``n_joints``,
+  ``max_obstacles``), iteration caps, and numeric hyperparameters that XLA
+  should constant-fold.  Changing any of these recompiles (as in the
+  reference, ref: trajectory.py:23-42).
+* ``Scenario`` (see :mod:`irm_motion_planning_tpu.ops.scenario`) — runtime
+  pytree inputs (start, goal, obstacles).  Changing these never recompiles,
+  preserving the reference's signature feature (ref: README.md:25-26).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Tuple
+
+# Default GD per-outer-iteration learning-rate schedule (ref: main.py:85-86).
+_DEFAULT_GD_LR: Tuple[float, ...] = (
+    2e-3, 1e-4, 1e-5, 1e-6, 1e-7, 1e-8, 1e-8, 1e-8, 1e-8, 1e-8,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Static (compile-time) configuration.  Hashable; safe as a jit static arg.
+
+    Field defaults mirror the reference CLI defaults (ref: main.py:13-102) so a
+    default-constructed config reproduces the reference's flagship problem.
+    """
+
+    # --- Trajectory parametrization (ref: main.py:33-38) ---
+    n_timesteps: int = 50
+    rbf_variance: float = 0.1
+    mix_scale: float = 0.15  # --jac-gaussian-mean: scale of the random cross-joint mixing matrix
+    mix_seed: int = 0        # PRNG seed of the mixing matrix (ref: trajectory.py:42)
+
+    # --- Robot (ref: main.py:89-98) ---
+    n_joints: int = 3
+    link_length: Tuple[float, ...] = (1.5, 1.0, 0.5)
+    max_joint_velocity: float = 7.0
+    max_joint_position: float = 2.0
+    min_joint_position: float = -1.0
+
+    # --- Environment padding (new: keeps obstacle count static; varying
+    # obstacle sets are expressed through per-obstacle weights, never a
+    # shape change) ---
+    max_obstacles: int = 16
+
+    # --- Loss (ref: main.py:63-70) ---
+    lambda_max_cost: float = 0.5
+    lambda_reg: float = 1e-4
+    constraint_violating_dependant_loss: bool = True
+    joint_safety_limit: float = 0.98
+
+    # --- Constraint tolerances (ref: main.py:57-60) ---
+    eps_position: float = 0.01
+    eps_velocity: float = 0.01
+
+    # --- Penalty-method dual loop (ref: main.py:47-56) ---
+    max_outer_iteration: int = 10
+    lambda_constraint_increase: float = 10.0
+    lambda_sg_constraint: float = 0.5
+    lambda_jl_constraint: float = 0.1
+
+    # --- Inner minimization (ref: main.py:41-44) ---
+    max_inner_iteration: int = 200
+    loop_loss_reduction: float = 1e-3
+
+    # --- Backtracking line search (ref: main.py:73-82) ---
+    max_bls_iteration: int = 20
+    bls_lr_start: float = 0.2
+    bls_alpha: float = 0.01
+    bls_beta_plus: float = 1.2
+    bls_beta_minus: float = 0.5
+
+    # --- Gradient descent (ref: main.py:85-86) ---
+    gd_lr: Tuple[float, ...] = _DEFAULT_GD_LR
+
+    # --- TPU-native execution knobs (no reference equivalent) ---
+    # 'sequential' replicates the reference's backtracking while_loop
+    # (ref: optimizer_BLS.py:130-150).  'ladder' evaluates the geometric
+    # learning-rate ladder lr*beta_minus**j for all j in one batched cost
+    # evaluation and selects the first Armijo-passing step — one matmul
+    # instead of a data-dependent loop; a far better fit for the MXU.
+    bls_mode: Literal["sequential", "ladder"] = "ladder"
+    # Run loops to their caps with per-lane done-masking instead of
+    # early-exiting while_loops.  Fixed horizons are what batch/shard without
+    # divergence stragglers; required for the throughput benchmark.
+    fixed_iters: bool = False
+    # f32 matmul precision on the MXU ('highest' = f32-accurate for parity
+    # with the CPU reference; 'default' = bf16 passes, fastest).
+    matmul_precision: Literal["default", "high", "highest"] = "highest"
+
+    def __post_init__(self) -> None:
+        if self.n_joints != len(self.link_length):
+            # ref: robot.py:21-23 validates the same invariant (fatally).
+            raise ValueError(
+                f"n_joints ({self.n_joints}) and link_length "
+                f"({len(self.link_length)}) do not match"
+            )
+        if self.max_outer_iteration > len(self.gd_lr):
+            # ref: optimizer_GD.py:34-36
+            raise ValueError(
+                "max_outer_iteration exceeds the gd_lr schedule length"
+            )
+
+    def replace(self, **kw) -> "PlannerConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,143 @@
+"""Shared solver machinery: state pytrees and the penalty-method outer loop.
+
+Both optimizers (GD, BLS) share the reference's dual structure
+(ref: optimizer_GD.py:172-232, optimizer_BLS.py:126-213):
+
+    outer penalty loop (<= max_outer_iteration):
+        inner descent loop (<= max_inner_iteration) minimizes the penalized
+            cost until the per-step loss reduction drops below tolerance
+        check hard constraints; on violation multiply the penalty weights
+            by lambda_constraint_increase and repeat
+
+We implement the outer/inner loops ONCE, parameterized by an inner-step
+function, in two execution modes:
+
+* ``fixed_iters=False`` — ``lax.while_loop`` with early exit, matching the
+  reference's latency-oriented single-scenario behavior,
+* ``fixed_iters=True`` — ``lax.fori_loop`` to the caps with per-lane "done"
+  masking (updates are frozen once converged).  Fixed horizons batch and
+  shard with no divergence stragglers; this is the throughput mode the
+  north-star metric measures.
+
+Under ``jax.vmap`` the while_loop condition becomes a lane-reduction
+(`any lane still active`), and finished lanes are frozen by the same masks,
+so batched early-exit semantics equal the per-lane sequential semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PlannerConfig
+from ..models.rkhs import Basis
+from ..ops.costs import Penalty, constraints_fulfilled
+from ..ops.scenario import Scenario
+
+
+class SolveStats(NamedTuple):
+    """Telemetry returned with every solve (the reference only printed these,
+    ref: main.py:126-143)."""
+
+    outer_iters: jnp.ndarray   # i32 — penalty escalations actually used
+    inner_iters: jnp.ndarray   # i32 — total descent steps across outer iters
+    converged: jnp.ndarray     # bool — hard constraints fulfilled
+    final_cost: jnp.ndarray    # f32 — penalized cost at the final penalty
+
+
+class SolveResult(NamedTuple):
+    alpha: jnp.ndarray
+    stats: SolveStats
+
+
+# An inner minimizer: (alpha, penalty) -> (alpha, inner_iters_used, final_loss)
+InnerFn = Callable[[jnp.ndarray, Penalty], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+class _OuterState(NamedTuple):
+    fulfilled: jnp.ndarray
+    outer_iter: jnp.ndarray
+    alpha: jnp.ndarray
+    penalty: Penalty
+    total_inner: jnp.ndarray
+    final_loss: jnp.ndarray
+
+
+def run_dual_loop(
+    cfg: PlannerConfig,
+    basis: Basis,
+    scn: Scenario,
+    alpha0: jnp.ndarray,
+    inner_fn_for_outer: Callable[[jnp.ndarray], InnerFn],
+) -> SolveResult:
+    """Penalty-method dual loop (ref: optimizer_BLS.py:183-211).
+
+    ``inner_fn_for_outer(outer_iter)`` returns the inner minimizer for that
+    outer iteration (GD reads its learning rate from a per-outer schedule,
+    ref: optimizer_GD.py:209).
+    """
+    inc = jnp.float32(cfg.lambda_constraint_increase)
+
+    def outer_body(state: _OuterState) -> _OuterState:
+        alpha, iters, loss = inner_fn_for_outer(state.outer_iter)(
+            state.alpha, state.penalty
+        )
+        fulfilled = constraints_fulfilled(cfg, basis, scn, alpha)
+        # On violation escalate both multipliers x increase
+        # (ref: optimizer_BLS.py:201-202); on success freeze.
+        new_penalty = Penalty(
+            jnp.where(fulfilled, state.penalty.lambda_sg, state.penalty.lambda_sg * inc),
+            jnp.where(fulfilled, state.penalty.lambda_jl, state.penalty.lambda_jl * inc),
+        )
+        return _OuterState(
+            fulfilled=fulfilled,
+            outer_iter=jnp.where(fulfilled, state.outer_iter, state.outer_iter + 1),
+            alpha=alpha,
+            penalty=new_penalty,
+            total_inner=state.total_inner + iters,
+            final_loss=loss,
+        )
+
+    init = _OuterState(
+        fulfilled=jnp.asarray(False),
+        outer_iter=jnp.asarray(0, jnp.int32),
+        alpha=alpha0,
+        penalty=Penalty(
+            jnp.float32(cfg.lambda_sg_constraint),
+            jnp.float32(cfg.lambda_jl_constraint),
+        ),
+        total_inner=jnp.asarray(0, jnp.int32),
+        final_loss=jnp.asarray(jnp.inf, jnp.float32),
+    )
+
+    if cfg.fixed_iters:
+        # Fixed horizon: always run max_outer_iteration rounds; a fulfilled
+        # lane's updates are frozen by the masks inside outer_body.
+        def fori_body(_, state):
+            nxt = outer_body(state)
+            keep = state.fulfilled  # already done -> freeze everything
+            return jax.tree_util.tree_map(
+                lambda old, new: jnp.where(keep, old, new), state, nxt
+            )
+
+        final = jax.lax.fori_loop(0, cfg.max_outer_iteration, fori_body, init)
+    else:
+        final = jax.lax.while_loop(
+            lambda s: jnp.logical_and(
+                s.outer_iter < cfg.max_outer_iteration, jnp.logical_not(s.fulfilled)
+            ),
+            outer_body,
+            init,
+        )
+
+    return SolveResult(
+        alpha=final.alpha,
+        stats=SolveStats(
+            outer_iters=final.outer_iter,
+            inner_iters=final.total_inner,
+            converged=final.fulfilled,
+            final_cost=final.final_loss,
+        ),
+    )

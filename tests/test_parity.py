@@ -1,0 +1,95 @@
+"""Golden parity gate against the CPU reference implementation.
+
+Goldens in tests/goldens/ were produced by running the reference
+(`python /root/reference/main.py --optimizer-name {bls,gd}`) on the CPU
+backend of this exact JAX install; they hold the converged trajectory
+(T x J, the `trajectory_result.txt` format, ref: main.py:145-148).
+
+Gate (BASELINE.json): final-cost gap vs the CPU reference <= 0.1% (lower
+cost always passes — it's an optimizer).  On CPU the sequential-BLS and GD
+paths reproduce the reference trajectories BITWISE; the ladder line search
+is allowed the 0.1% cost tolerance.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import irm_motion_planning_tpu as mp
+from irm_motion_planning_tpu.solvers import bls, gd
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+# Final avg/max obstacle costs printed by the reference runs that produced
+# the goldens (ref: main.py:141-143).
+REF_COST = {
+    "bls": (1.6370234, 2.1964114),
+    "gd": (1.6673477, 2.2091691),
+}
+
+
+def _solve(cfg, solver, scn):
+    basis = mp.make_basis(cfg)
+    # Separate jit boundaries for init and solver, matching the reference's
+    # dispatch structure (ref: optimizer_BLS.py:57-62) — required for the
+    # bitwise comparison because XLA fusion through the ill-conditioned init
+    # solve changes alpha otherwise.
+    a0 = jax.jit(lambda s, g: mp.init_alpha(cfg, basis, s, g))(scn.start, scn.goal)
+    res = jax.jit(lambda s, a: solver.solve(cfg, basis, s, a))(scn, a0)
+    traj, _ = mp.evaluate(cfg, basis, res.alpha)
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, res.alpha)
+    )
+    max_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, res.alpha)
+    )
+    return np.asarray(traj), avg_c, max_c, res
+
+
+@pytest.mark.parametrize("name,solver", [("bls", bls), ("gd", gd)])
+def test_bitwise_parity_sequential(name, solver):
+    cfg = mp.PlannerConfig(bls_mode="sequential")
+    scn = mp.reference_scenario(cfg)
+    traj, avg_c, max_c, _ = _solve(cfg, solver, scn)
+    golden = np.loadtxt(os.path.join(GOLDEN_DIR, f"{name}_default.txt"))
+    np.testing.assert_array_equal(traj, golden.astype(np.float32))
+    ref_avg, ref_max = REF_COST[name]
+    assert abs(avg_c - ref_avg) / ref_avg < 1e-5
+    assert abs(max_c - ref_max) / ref_max < 1e-5
+
+
+def test_ladder_final_cost_gap():
+    """TPU-first parallel line search: final cost within 0.1% of the
+    reference (or better)."""
+    cfg = mp.PlannerConfig(bls_mode="ladder")
+    scn = mp.reference_scenario(cfg)
+    traj, avg_c, max_c, _ = _solve(cfg, bls, scn)
+    ref_avg, ref_max = REF_COST["bls"]
+    assert avg_c <= ref_avg * 1.001, f"avg {avg_c} vs ref {ref_avg}"
+    assert max_c <= ref_max * 1.001, f"max {max_c} vs ref {ref_max}"
+
+
+def test_fixed_iters_cost_quality():
+    """The fixed-horizon (throughput) mode must reach the same solution
+    quality as the early-exit mode."""
+    cfg = mp.PlannerConfig(bls_mode="ladder", fixed_iters=True)
+    scn = mp.reference_scenario(cfg)
+    traj, avg_c, max_c, _ = _solve(cfg, bls, scn)
+    ref_avg, ref_max = REF_COST["bls"]
+    assert avg_c <= ref_avg * 1.001
+    assert max_c <= ref_max * 1.001
+
+
+def test_obstacle_padding_is_exact():
+    """Zero-weight padded obstacles must not perturb the result AT ALL."""
+    cfg11 = mp.PlannerConfig(max_obstacles=11)
+    cfg16 = mp.PlannerConfig(max_obstacles=16)
+    scn11 = mp.reference_scenario(cfg11)
+    scn16 = mp.reference_scenario(cfg16)
+    t11, a11, m11, _ = _solve(cfg11, bls, scn11)
+    t16, a16, m16, _ = _solve(cfg16, bls, scn16)
+    np.testing.assert_array_equal(t11, t16)
