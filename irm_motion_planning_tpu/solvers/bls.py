@@ -42,7 +42,7 @@ from ..config import PlannerConfig
 from ..models.rkhs import Basis, init_alpha
 from ..ops.costs import Penalty, cost_and_grad, total_cost
 from ..ops.scenario import Scenario
-from .common import InnerFn, SolveResult, run_dual_loop
+from .common import InnerFn, SolveResult, freeze_when, run_dual_loop
 
 
 def _trial(cfg: PlannerConfig, alpha, n_grad, lr):
@@ -95,7 +95,7 @@ def _sequential_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The reference's backtracking while_loop (ref: optimizer_BLS.py:130-150)."""
 
-    def body(s: _BlsState) -> _BlsState:
+    def _raw_body(s: _BlsState) -> _BlsState:
         new_alpha = _trial(cfg, s.alpha, n_grad, s.bls_lr)
         new_loss = total_cost(cfg, basis, scn, penalty, new_alpha)
         required = loss - cfg.bls_alpha * s.bls_lr * alpha_norm
@@ -109,6 +109,10 @@ def _sequential_search(
             alpha=jnp.where(reject, s.alpha, new_alpha),
             loss=jnp.where(reject, s.loss, new_loss),
         )
+
+    def body(s: _BlsState) -> _BlsState:
+        # No-op once accepted (vmap lockstep safety).
+        return freeze_when(s.obtained, s, _raw_body(s))
 
     init = _BlsState(
         obtained=jnp.asarray(False),
@@ -146,7 +150,7 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
         def inner(alpha: jnp.ndarray, penalty: Penalty):
             loss0, grad0 = cost_and_grad(cfg, basis, scn, penalty, alpha)
 
-            def body(state: _InnerState) -> _InnerState:
+            def _raw_body(state: _InnerState) -> _InnerState:
                 # Normalized functional-gradient direction
                 # (ref: optimizer_BLS.py:165-166).
                 n_grad = state.grad / jnp.linalg.norm(state.grad)
@@ -171,6 +175,10 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
                     grad=jnp.where(stop, state.grad, next_grad),
                 )
 
+            def body(state: _InnerState) -> _InnerState:
+                # No-op for already-minimized lanes (vmap lockstep safety).
+                return freeze_when(state.minimized, state, _raw_body(state))
+
             init = _InnerState(
                 minimized=jnp.asarray(False),
                 inner_iter=jnp.asarray(0, jnp.int32),
@@ -181,15 +189,9 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
             )
 
             if cfg.fixed_iters:
-                def fori_body(_, state):
-                    nxt = body(state)
-                    return jax.tree_util.tree_map(
-                        lambda old, new: jnp.where(state.minimized, old, new),
-                        state,
-                        nxt,
-                    )
-
-                final = jax.lax.fori_loop(0, cfg.max_inner_iteration, fori_body, init)
+                final = jax.lax.fori_loop(
+                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                )
             else:
                 final = jax.lax.while_loop(
                     lambda s: jnp.logical_and(

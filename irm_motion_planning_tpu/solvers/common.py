@@ -37,6 +37,16 @@ from ..ops.costs import Penalty, constraints_fulfilled
 from ..ops.scenario import Scenario
 
 
+def freeze_when(done, state, new_state):
+    """Select old state where ``done`` — makes loop bodies no-ops for lanes
+    that already converged.  Crucial under vmap: a vmapped while_loop keeps
+    running every lane until ALL lanes exit, so bodies must be idempotent for
+    finished lanes or batched semantics diverge from sequential semantics."""
+    return jax.tree_util.tree_map(
+        lambda old, new: jnp.where(done, old, new), state, new_state
+    )
+
+
 class SolveStats(NamedTuple):
     """Telemetry returned with every solve (the reference only printed these,
     ref: main.py:126-143)."""
@@ -80,7 +90,7 @@ def run_dual_loop(
     """
     inc = jnp.float32(cfg.lambda_constraint_increase)
 
-    def outer_body(state: _OuterState) -> _OuterState:
+    def _raw_outer_body(state: _OuterState) -> _OuterState:
         alpha, iters, loss = inner_fn_for_outer(state.outer_iter)(
             state.alpha, state.penalty
         )
@@ -100,6 +110,11 @@ def run_dual_loop(
             final_loss=loss,
         )
 
+    def outer_body(state: _OuterState) -> _OuterState:
+        # Freeze fulfilled lanes (no-op body) so vmapped lockstep execution
+        # preserves per-lane sequential semantics.
+        return freeze_when(state.fulfilled, state, _raw_outer_body(state))
+
     init = _OuterState(
         fulfilled=jnp.asarray(False),
         outer_iter=jnp.asarray(0, jnp.int32),
@@ -113,16 +128,11 @@ def run_dual_loop(
     )
 
     if cfg.fixed_iters:
-        # Fixed horizon: always run max_outer_iteration rounds; a fulfilled
-        # lane's updates are frozen by the masks inside outer_body.
-        def fori_body(_, state):
-            nxt = outer_body(state)
-            keep = state.fulfilled  # already done -> freeze everything
-            return jax.tree_util.tree_map(
-                lambda old, new: jnp.where(keep, old, new), state, nxt
-            )
-
-        final = jax.lax.fori_loop(0, cfg.max_outer_iteration, fori_body, init)
+        # Fixed horizon: always run max_outer_iteration rounds; fulfilled
+        # lanes are frozen by the mask inside outer_body.
+        final = jax.lax.fori_loop(
+            0, cfg.max_outer_iteration, lambda _, s: outer_body(s), init
+        )
     else:
         final = jax.lax.while_loop(
             lambda s: jnp.logical_and(

@@ -31,7 +31,7 @@ from ..config import PlannerConfig
 from ..models.rkhs import Basis, init_alpha
 from ..ops.costs import Penalty, cost_and_grad
 from ..ops.scenario import Scenario
-from .common import InnerFn, SolveResult, run_dual_loop
+from .common import InnerFn, SolveResult, freeze_when, run_dual_loop
 
 
 class _InnerState(NamedTuple):
@@ -55,7 +55,7 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
         def inner(alpha: jnp.ndarray, penalty: Penalty):
             loss0, grad0 = cost_and_grad(cfg, basis, scn, penalty, alpha)
 
-            def body(state: _InnerState) -> _InnerState:
+            def _raw_body(state: _InnerState) -> _InnerState:
                 new_alpha = (1.0 - lam_reg * lr) * state.alpha - lr * state.grad
                 new_loss, new_grad = cost_and_grad(cfg, basis, scn, penalty, new_alpha)
                 stop = state.loss - new_loss < tol
@@ -67,6 +67,10 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
                     grad=jnp.where(stop, state.grad, new_grad),
                 )
 
+            def body(state: _InnerState) -> _InnerState:
+                # No-op for already-minimized lanes (vmap lockstep safety).
+                return freeze_when(state.minimized, state, _raw_body(state))
+
             init = _InnerState(
                 minimized=jnp.asarray(False),
                 inner_iter=jnp.asarray(0, jnp.int32),
@@ -76,15 +80,9 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
             )
 
             if cfg.fixed_iters:
-                def fori_body(_, state):
-                    nxt = body(state)
-                    return jax.tree_util.tree_map(
-                        lambda old, new: jnp.where(state.minimized, old, new),
-                        state,
-                        nxt,
-                    )
-
-                final = jax.lax.fori_loop(0, cfg.max_inner_iteration, fori_body, init)
+                final = jax.lax.fori_loop(
+                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                )
             else:
                 final = jax.lax.while_loop(
                     lambda s: jnp.logical_and(
