@@ -29,16 +29,22 @@ BASELINE_SOLVES_PER_SEC = 1.0 / REF_SOLVE_SECONDS
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
-    p.add_argument("--ladder", action="store_true", default=True)
+    p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
+                   help="fleet = batch-trailing MXU layout; vmap = per-lane")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(bls_mode="ladder")
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
-    run = batched.make_batched_solver(cfg, basis, solver=args.solver)
+    if args.engine == "fleet":
+        from irm_motion_planning_tpu.solvers import fleet
+
+        run = fleet.make_fleet_solver(cfg, basis, solver=args.solver)
+    else:
+        run = batched.make_batched_solver(cfg, basis, solver=args.solver)
 
     # Warm-up: compile + first execution excluded (ref: optimizer_BLS.py:50-54).
     t0 = time.time()
@@ -54,7 +60,7 @@ def main():
     best = min(times)
     solves_per_sec = args.batch / best
     result = {
-        "metric": f"{args.solver}_solves_per_sec_per_chip",
+        "metric": f"{args.solver}_{args.engine}_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),

@@ -26,7 +26,7 @@ so batched early-exit semantics equal the per-lane sequential semantics.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,20 +81,27 @@ def run_dual_loop(
     scn: Scenario,
     alpha0: jnp.ndarray,
     inner_fn_for_outer: Callable[[jnp.ndarray], InnerFn],
+    constraints_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    penalty0: Optional[Penalty] = None,
 ) -> SolveResult:
     """Penalty-method dual loop (ref: optimizer_BLS.py:183-211).
 
     ``inner_fn_for_outer(outer_iter)`` returns the inner minimizer for that
     outer iteration (GD reads its learning rate from a per-outer schedule,
-    ref: optimizer_GD.py:209).
+    ref: optimizer_GD.py:209).  ``constraints_fn`` defaults to the
+    single-scenario check; lane-parallel engines (fleet) pass a batched one
+    returning (B,) — every piece of loop state then carries a trailing or
+    leading lane axis and the freeze masks broadcast across it.
     """
     inc = jnp.float32(cfg.lambda_constraint_increase)
+    if constraints_fn is None:
+        constraints_fn = lambda a: constraints_fulfilled(cfg, basis, scn, a)
 
     def _raw_outer_body(state: _OuterState) -> _OuterState:
         alpha, iters, loss = inner_fn_for_outer(state.outer_iter)(
             state.alpha, state.penalty
         )
-        fulfilled = constraints_fulfilled(cfg, basis, scn, alpha)
+        fulfilled = constraints_fn(alpha)
         # On violation escalate both multipliers x increase
         # (ref: optimizer_BLS.py:201-202); on success freeze.
         new_penalty = Penalty(
@@ -115,16 +122,19 @@ def run_dual_loop(
         # preserves per-lane sequential semantics.
         return freeze_when(state.fulfilled, state, _raw_outer_body(state))
 
-    init = _OuterState(
-        fulfilled=jnp.asarray(False),
-        outer_iter=jnp.asarray(0, jnp.int32),
-        alpha=alpha0,
-        penalty=Penalty(
+    if penalty0 is None:
+        penalty0 = Penalty(
             jnp.float32(cfg.lambda_sg_constraint),
             jnp.float32(cfg.lambda_jl_constraint),
-        ),
-        total_inner=jnp.asarray(0, jnp.int32),
-        final_loss=jnp.asarray(jnp.inf, jnp.float32),
+        )
+    lane = jnp.zeros_like(penalty0.lambda_sg)  # scalar or (B,) lane prototype
+    init = _OuterState(
+        fulfilled=lane.astype(bool),
+        outer_iter=lane.astype(jnp.int32),
+        alpha=alpha0,
+        penalty=penalty0,
+        total_inner=lane.astype(jnp.int32),
+        final_loss=jnp.full_like(lane, jnp.inf),
     )
 
     if cfg.fixed_iters:
@@ -135,8 +145,11 @@ def run_dual_loop(
         )
     else:
         final = jax.lax.while_loop(
-            lambda s: jnp.logical_and(
-                s.outer_iter < cfg.max_outer_iteration, jnp.logical_not(s.fulfilled)
+            lambda s: jnp.any(
+                jnp.logical_and(
+                    s.outer_iter < cfg.max_outer_iteration,
+                    jnp.logical_not(s.fulfilled),
+                )
             ),
             outer_body,
             init,

@@ -1,0 +1,153 @@
+"""Tests for the runtime layer: CLI, IO formats, timing harness, plain
+(Python-loop) solvers, and the receding-horizon replanner."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import irm_motion_planning_tpu as mp
+from irm_motion_planning_tpu.solvers import bls, plain
+from irm_motion_planning_tpu.solvers.replan import Replanner
+from irm_motion_planning_tpu.utils import io as iolib
+from irm_motion_planning_tpu.utils import timing
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mp.PlannerConfig(max_inner_iteration=30, max_outer_iteration=3)
+    return cfg, mp.make_basis(cfg), mp.reference_scenario(cfg)
+
+
+def test_io_roundtrip(tmp_path, setup):
+    cfg, basis, scn = setup
+    alpha = mp.init_alpha(cfg, basis, scn.start, scn.goal)
+    path = str(tmp_path / "trajectory_result.txt")
+    arr = iolib.save_trajectory_result(path, cfg, basis, alpha)
+    assert arr.shape == (cfg.n_timesteps, cfg.n_joints)
+    loaded = iolib.load_trajectory_result(path)
+    np.testing.assert_allclose(loaded, arr, rtol=1e-6)
+
+    spath = str(tmp_path / "trajectory_series.txt")
+    iolib.save_trajectory_series(spath, cfg, basis, [alpha, alpha * 1.1])
+    series = iolib.load_trajectory_series(spath, cfg)
+    assert series.shape == (2, cfg.n_timesteps, cfg.n_joints)
+
+
+def test_npz_roundtrip(tmp_path, setup):
+    cfg, basis, scn = setup
+    res = jax.jit(lambda s: bls.solve(cfg, basis, s))(scn)
+    path = str(tmp_path / "solve.npz")
+    iolib.save_solve_npz(path, res)
+    loaded = iolib.load_solve_npz(path)
+    np.testing.assert_array_equal(np.asarray(loaded.alpha), np.asarray(res.alpha))
+    assert int(loaded.stats.inner_iters) == int(res.stats.inner_iters)
+
+
+def test_timing_harness(setup):
+    cfg, basis, scn = setup
+    fn = jax.jit(lambda s: bls.solve(cfg, basis, s))
+    rep = timing.time_fn(lambda: fn(scn), n_measurements=3, n_times=2)
+    assert len(rep.per_measurement_ms) == 3
+    assert rep.mean_ms > 0 and rep.stddev_ms >= 0
+    assert rep.compile_ms >= rep.mean_ms  # first call included compile
+
+
+def test_plain_solver_matches_jit_quality(setup):
+    """Python-loop solver (capability of --jit-loop false) must reach the
+    jitted solver's quality on the reference scene."""
+    cfg, basis, scn = setup
+    r_jit = jax.jit(lambda s: bls.solve(cfg, basis, s))(scn)
+    r_plain, series = plain.plain_solve(cfg, basis, scn, solver="bls")
+    pen = mp.initial_penalty(cfg)
+    c_j = float(mp.total_cost(cfg, basis, scn, pen, r_jit.alpha))
+    c_p = float(mp.total_cost(cfg, basis, scn, pen, r_plain.alpha))
+    assert abs(c_j - c_p) / abs(c_j) < 5e-2
+    assert series is None
+
+
+def test_plain_solver_records_series(setup):
+    cfg, basis, scn = setup
+    res, series = plain.plain_solve(
+        cfg, basis, scn, solver="gd", record_series=True
+    )
+    assert series is not None and len(series) >= 2
+    assert series[0].shape == (cfg.n_timesteps, cfg.n_joints)
+
+
+def test_replanner_warm_start_and_moving_obstacles(setup):
+    """Receding-horizon loop: moving obstacles, warm-started ticks, no
+    recompilation across ticks."""
+    cfg, _, scn = setup
+    rp = Replanner(cfg, budget_outer=2, budget_inner=15)
+    r1 = rp.plan(scn)
+    costs = []
+    for k in range(3):
+        moved = scn._replace(obstacles=scn.obstacles + 0.05 * (k + 1))
+        rk = rp.plan(moved)
+        pen = mp.initial_penalty(rp.tick_cfg)
+        costs.append(float(mp.total_cost(rp.tick_cfg, rp.basis, moved, pen, rk.alpha)))
+    assert rp._solve_fn._cache_size() == 1  # no recompiles across ticks
+    assert all(np.isfinite(costs))
+    # warm start pays off: a fresh solve with the same tiny budget from the
+    # smoothstep init should not beat the warm-started tick 3 materially
+    rp2 = Replanner(cfg, budget_outer=2, budget_inner=15)
+    moved = scn._replace(obstacles=scn.obstacles + 0.15)
+    r_cold = rp2.plan(moved)
+    pen = mp.initial_penalty(rp.tick_cfg)
+    c_cold = float(mp.total_cost(rp.tick_cfg, rp2.basis, moved, pen, r_cold.alpha))
+    assert costs[-1] < c_cold * 1.10
+
+
+def test_replanner_batched(setup):
+    cfg, _, scn = setup
+    rp = Replanner(cfg, budget_outer=1, budget_inner=10, batched=True)
+    scns = mp.replicate_scenario(scn, 4)
+    res = rp.plan(scns)
+    assert res.alpha.shape[0] == 4
+    res2 = rp.plan(scns)  # warm-started second tick
+    assert res2.alpha.shape[0] == 4
+
+
+_CLI_ENV = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+
+
+def _run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "irm_motion_planning_tpu.cli", "--platform", "cpu"]
+        + args,
+        cwd=cwd,
+        env=dict(_CLI_ENV, PYTHONPATH=os.path.dirname(os.path.dirname(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+def test_cli_single_solve(tmp_path):
+    r = _run_cli(["--max-outer-iteration", "2", "--max-inner-iteration", "20"],
+                 str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "result cost" in r.stdout
+    assert (tmp_path / "trajectory_result.txt").exists()
+    arr = np.loadtxt(tmp_path / "trajectory_result.txt")
+    assert arr.shape == (50, 3)
+
+
+def test_cli_batched(tmp_path):
+    r = _run_cli(["--batch", "4", "--max-outer-iteration", "1",
+                  "--max-inner-iteration", "10"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "batch 4" in r.stdout
+
+
+def test_cli_plain_loop_with_series(tmp_path):
+    r = _run_cli(["--jit-loop", "false", "--extended-vis", "true",
+                  "--max-outer-iteration", "1", "--max-inner-iteration", "10",
+                  "--optimizer-name", "gd"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "trajectory_series.txt").exists()
