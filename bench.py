@@ -1,12 +1,19 @@
 """Headline benchmark: RKHS trajectory solves/s/chip.
 
-Protocol (mirrors the reference's methodology, ref: main.py:117-129 — JIT
-warm-up excluded, block_until_ready, repeated measurements):
+Protocol (timing methodology mirrors the reference, ref: main.py:117-129 —
+JIT warm-up excluded, block_until_ready, repeated measurements):
 
-* the reference scene replicated into a batch, flagship BLS solver — each
-  batch lane performs exactly the work of one reference solve (identical
-  lanes take identical early-exit paths), so solves/s is apples-to-apples
-  with the reference's per-solve latency,
+* the reference scene replicated into a batch, flagship BLS solver, at a
+  FIXED iteration horizon: 10 penalty rounds x 15 line-search steps = 150
+  optimizer steps per solve — matching the ~145 steps the reference's
+  early-exit solve performs to reach its flagship 3.12 ms
+  (DevBlog blog-post.html:364,389).  A fixed horizon makes the metric
+  deterministic: the early-stop threshold (1e-3) sits below f32 noise, so
+  early-exit step counts vary by fp path and would make throughput numbers
+  compare luck rather than speed,
+* quality is reported next to speed (mean final cost + converged fraction);
+  at this horizon the solver SATISFIES the hard constraints on the
+  reference scene (the reference's own run terminates violated),
 * baseline: the reference's published flagship number — 3.12 ms per solve
   on CPU (DevBlog blog-post.html:389) = 320.5 solves/s.
 
@@ -34,9 +41,13 @@ def main():
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
                    help="fleet = batch-trailing MXU layout; vmap = per-lane")
+    p.add_argument("--inner", type=int, default=15,
+                   help="fixed inner steps per penalty round (10 rounds)")
     args = p.parse_args()
 
-    cfg = mp.PlannerConfig(bls_mode="ladder")
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner
+    )
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
     if args.engine == "fleet":
@@ -48,8 +59,11 @@ def main():
 
     # Warm-up: compile + first execution excluded (ref: optimizer_BLS.py:50-54).
     t0 = time.time()
-    jax.block_until_ready(run(scns))
+    warm = run(scns)
+    jax.block_until_ready(warm)
     compile_s = time.time() - t0
+    mean_cost = float(warm.stats.final_cost.mean())
+    conv_frac = float(warm.stats.converged.mean())
 
     times = []
     for _ in range(args.repeats):
@@ -69,7 +83,8 @@ def main():
     print(
         f"# batch={args.batch} best={best*1000:.1f}ms "
         f"mean={1000*sum(times)/len(times):.1f}ms compile+first={compile_s:.1f}s "
-        f"per-solve={1e6*best/args.batch:.1f}us",
+        f"per-solve={1e6*best/args.batch:.1f}us "
+        f"quality: mean_final_cost={mean_cost:.4f} converged={conv_frac:.2f}",
         file=sys.stderr,
     )
 

@@ -124,14 +124,16 @@ def _fk_ee_and_jac(cfg, traj):
 
 
 def _obstacle_v(ee, obstacles, weight):
-    """ee (2, T, ...L), obstacles (O, 2, B), weight (O, B).  Trailing lane
-    axes ...L of ee may extend (B,) to (B, n) for ladder candidates.
-    Returns cost_v (T, ...L)."""
-    extra = ee.ndim - 3  # candidate axes appended after B
+    """ee (2, T, ...L), obstacles (O, 2, B), weight (O, B).  Lane axes ...L
+    are (B,) or — for ladder candidates — (n, B): the rung axis sits BEFORE
+    the batch axis so B stays on the minor (128-lane) dimension of every
+    elementwise op.  Returns cost_v (T, ...L)."""
+    extra = ee.ndim - 3  # candidate axes inserted before B
+    O, B = weight.shape
     obs = jnp.moveaxis(obstacles, 1, 0).reshape(
-        (2, 1, obstacles.shape[0]) + obstacles.shape[2:] + (1,) * extra
-    )  # (2, 1, O, B, 1...)
-    w = weight.reshape((1, weight.shape[0]) + weight.shape[1:] + (1,) * extra)
+        (2, 1, O) + (1,) * extra + (B,)
+    )  # (2, 1, O, 1..., B)
+    w = weight.reshape((1, O) + (1,) * extra + (B,))
     diff = ee[:, :, None] - obs                      # (2, T, O, ...L)
     d2 = jnp.sum(jnp.square(diff), axis=0)           # (T, O, ...L)
     return jnp.sum(0.8 / (0.5 + 0.5 * d2) * w, axis=1)
@@ -201,15 +203,19 @@ def _limit_grads(cfg, traj, vel):
     return pg / T, vg / T
 
 
-def fleet_cost(cfg, basis, scn: Scenario, penalty: Penalty, alpha) -> jnp.ndarray:
-    """Total penalized cost per lane.  alpha (T, J, ...L) -> (...L,).
-    penalty fields are (B,) and broadcast over candidate axes."""
-    traj, vel = fleet_evaluate(cfg, basis, alpha)
+def fleet_cost_from_traj(cfg, scn: Scenario, penalty: Penalty, traj, vel) -> jnp.ndarray:
+    """Total penalized cost per lane given an already-evaluated trajectory.
+
+    Split out from :func:`fleet_cost` because RKHS evaluation is LINEAR in
+    alpha: line-search candidates' trajectories are affine combinations of
+    two precomputed evaluations, so the ladder never re-runs the basis GEMM
+    (see _make_bls_inner)."""
     ee = _fk_ee(cfg, traj)
     toc = _blend(cfg, _obstacle_v(ee, scn.obstacles, scn.obstacle_weight))
-    extra = alpha.ndim - 3
-    start = scn.start.reshape(scn.start.shape + (1,) * extra)
-    goal = scn.goal.reshape(scn.goal.shape + (1,) * extra)
+    extra = traj.ndim - 3  # rung axes inserted before B
+    J, B = scn.start.shape
+    start = scn.start.reshape((J,) + (1,) * extra + (B,))
+    goal = scn.goal.reshape((J,) + (1,) * extra + (B,))
     sgpc = 0.5 * (
         jnp.sum(jnp.square(traj[0] - start), axis=0)
         + jnp.sum(jnp.square(traj[-1] - goal), axis=0)
@@ -218,14 +224,21 @@ def fleet_cost(cfg, basis, scn: Scenario, penalty: Penalty, alpha) -> jnp.ndarra
         jnp.sum(jnp.square(vel[0]), axis=0) + jnp.sum(jnp.square(vel[-1]), axis=0)
     )
     jpc, jvc = _limit_terms(cfg, traj, vel)
-    lam_sg = penalty.lambda_sg.reshape(penalty.lambda_sg.shape + (1,) * extra)
-    lam_jl = penalty.lambda_jl.reshape(penalty.lambda_jl.shape + (1,) * extra)
-    return toc + lam_sg * (sgpc + sgvc) + lam_jl * (jpc + jvc)
+    # penalty fields are (B,); they broadcast over the leading rung axes.
+    return toc + penalty.lambda_sg * (sgpc + sgvc) + penalty.lambda_jl * (jpc + jvc)
 
 
-def fleet_cost_and_grad(cfg, basis, scn, penalty: Penalty, alpha):
-    """Fused per-lane cost + analytical alpha-gradient.
-    alpha (T, J, B) -> ((B,), (T, J, B))."""
+def fleet_cost(cfg, basis, scn: Scenario, penalty: Penalty, alpha) -> jnp.ndarray:
+    """Total penalized cost per lane.  alpha (T, J, ...L) -> (...L,)."""
+    traj, vel = fleet_evaluate(cfg, basis, alpha)
+    return fleet_cost_from_traj(cfg, scn, penalty, traj, vel)
+
+
+def fleet_cost_grad_eval(cfg, basis, scn, penalty: Penalty, alpha):
+    """Fused per-lane cost + analytical alpha-gradient + the evaluated
+    (traj, vel), so callers can reuse the basis evaluation (the line-search
+    linearization needs it).  alpha (T, J, B) ->
+    ((B,), (T, J, B), (T, J, B), (T, J, B))."""
     prec = _precision(cfg)
     traj, vel = fleet_evaluate(cfg, basis, alpha)
     ee, jac = _fk_ee_and_jac(cfg, traj)
@@ -257,6 +270,13 @@ def fleet_cost_and_grad(cfg, basis, scn, penalty: Penalty, alpha):
         basis.kv.T, stacked.reshape(2 * T, J * B), precision=prec
     ).reshape(T, J, B)
     grad = jnp.einsum("tib,ji->tjb", pulled, basis.mix, precision=prec)
+    return cost, grad, traj, vel
+
+
+def fleet_cost_and_grad(cfg, basis, scn, penalty: Penalty, alpha):
+    """Fused per-lane cost + analytical alpha-gradient.
+    alpha (T, J, B) -> ((B,), (T, J, B))."""
+    cost, grad, _, _ = fleet_cost_grad_eval(cfg, basis, scn, penalty, alpha)
     return cost, grad
 
 
@@ -291,6 +311,8 @@ class _BlsInner(NamedTuple):
     bls_lr: jnp.ndarray      # (B,)
     loss: jnp.ndarray        # (B,)
     grad: jnp.ndarray        # (T, J, B)
+    traj: jnp.ndarray        # (T, J, B) — evaluation at alpha (reused by ladder)
+    vel: jnp.ndarray         # (T, J, B)
 
 
 def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
@@ -304,7 +326,9 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
         del outer_iter
 
         def inner(alpha, penalty: Penalty):
-            loss0, grad0 = fleet_cost_and_grad(cfg, basis, scn, penalty, alpha)
+            loss0, grad0, traj0, vel0 = fleet_cost_grad_eval(
+                cfg, basis, scn, penalty, alpha
+            )
             B = loss0.shape[0]
 
             def _raw_body(s: _BlsInner) -> _BlsInner:
@@ -316,30 +340,36 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 alpha_norm = jnp.sum(
                     jnp.sum(s.grad, axis=1) * jnp.sum(n_grad, axis=1), axis=0
                 )  # (B,)
-                lrs = s.bls_lr[:, None] * rungs[None]            # (B, n)
-                cand = (
-                    (1.0 - cfg.lambda_reg * lrs) * s.alpha[..., None]
-                    - lrs * n_grad[..., None]
-                )                                                # (T, J, B, n)
-                cand_loss = fleet_cost(cfg, basis, scn, penalty, cand)  # (B, n)
-                required = s.loss[:, None] - cfg.bls_alpha * lrs * alpha_norm[:, None]
+                # LINEARIZATION: evaluation is linear in alpha, so every
+                # rung's trajectory is an affine combination of the CURRENT
+                # evaluation (carried in the state) and ONE evaluation of the
+                # search direction — no per-candidate basis GEMM.
+                gtraj, gvel = fleet_evaluate(cfg, basis, n_grad)
+                # Rung-major candidates (T, J, n, B): the batch stays on the
+                # minor axis so every elementwise op runs full-width lanes.
+                lrs = rungs[:, None] * s.bls_lr[None]            # (n, B)
+                a_fac = 1.0 - cfg.lambda_reg * lrs               # (n, B)
+                cand_traj = a_fac * s.traj[:, :, None] - lrs * gtraj[:, :, None]
+                cand_vel = a_fac * s.vel[:, :, None] - lrs * gvel[:, :, None]
+                cand_loss = fleet_cost_from_traj(
+                    cfg, scn, penalty, cand_traj, cand_vel
+                )                                                # (n, B)
+                required = s.loss[None] - cfg.bls_alpha * lrs * alpha_norm[None]
                 ok = cand_loss <= required
-                any_ok = jnp.any(ok, axis=1)                     # (B,)
-                j = jnp.argmax(ok, axis=1)                       # (B,)
-                sel = jnp.take_along_axis(
-                    cand, j[None, None, :, None], axis=3
-                )[..., 0]                                        # (T, J, B)
-                new_alpha = jnp.where(any_ok, sel, s.alpha)
-                sel_loss = jnp.take_along_axis(cand_loss, j[:, None], axis=1)[:, 0]
+                any_ok = jnp.any(ok, axis=0)                     # (B,)
+                j = jnp.argmax(ok, axis=0)                       # (B,)
+                lr_sel = jnp.take_along_axis(lrs, j[None], axis=0)[0]
+                lr_eff = jnp.where(any_ok, lr_sel, 0.0)          # rejected -> no step
+                new_alpha = (1.0 - cfg.lambda_reg * lr_eff) * s.alpha - lr_eff * n_grad
+                sel_loss = jnp.take_along_axis(cand_loss, j[None], axis=0)[0]
                 new_loss = jnp.where(any_ok, sel_loss, s.loss)
-                lr_sel = jnp.take_along_axis(lrs, j[:, None], axis=1)[:, 0]
                 new_lr = jnp.where(
                     any_ok,
                     lr_sel * cfg.bls_beta_plus,
                     s.bls_lr * jnp.float32(cfg.bls_beta_minus) ** n,
                 )
                 stop = s.loss - new_loss < tol
-                next_loss, next_grad = fleet_cost_and_grad(
+                next_loss, next_grad, next_traj, next_vel = fleet_cost_grad_eval(
                     cfg, basis, scn, penalty, new_alpha
                 )
                 return _BlsInner(
@@ -349,6 +379,8 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                     bls_lr=new_lr,
                     loss=jnp.where(stop, new_loss, next_loss),
                     grad=jnp.where(stop, s.grad, next_grad),
+                    traj=next_traj,
+                    vel=next_vel,
                 )
 
             def body(s: _BlsInner) -> _BlsInner:
@@ -361,6 +393,8 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 bls_lr=jnp.full((B,), cfg.bls_lr_start, jnp.float32),
                 loss=loss0,
                 grad=grad0,
+                traj=traj0,
+                vel=vel0,
             )
             if cfg.fixed_iters:
                 final = jax.lax.fori_loop(
