@@ -41,6 +41,8 @@ def main():
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
                    help="fleet = batch-trailing MXU layout; vmap = per-lane")
+    p.add_argument("--backend", choices=["pallas", "xla"], default="pallas",
+                   help="fleet inner-step backend (pallas = fused mega-kernel)")
     p.add_argument("--inner", type=int, default=15,
                    help="fixed inner steps per penalty round (10 rounds)")
     args = p.parse_args()
@@ -53,7 +55,10 @@ def main():
     if args.engine == "fleet":
         from irm_motion_planning_tpu.solvers import fleet
 
-        run = fleet.make_fleet_solver(cfg, basis, solver=args.solver)
+        backend = args.backend if args.solver == "bls" else "xla"
+        run = fleet.make_fleet_solver(
+            cfg, basis, solver=args.solver, backend=backend
+        )
     else:
         run = batched.make_batched_solver(cfg, basis, solver=args.solver)
 
@@ -62,8 +67,19 @@ def main():
     warm = run(scns)
     jax.block_until_ready(warm)
     compile_s = time.time() - t0
-    mean_cost = float(warm.stats.final_cost.mean())
-    conv_frac = float(warm.stats.converged.mean())
+    # Quality of lane 0 (all lanes identical): unpenalized obstacle costs +
+    # endpoint error, comparable to the reference's final report
+    # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.034).
+    import jax.numpy as jnp
+
+    scn0 = mp.reference_scenario(cfg)
+    alpha0 = warm.alpha[0]
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_cost = float(mp.total_cost(
+        cfg.replace(lambda_max_cost=0.0), basis, scn0, pen0, alpha0))
+    max_cost = float(mp.total_cost(
+        cfg.replace(lambda_max_cost=1.0), basis, scn0, pen0, alpha0))
+    rep = mp.constraint_report(cfg, basis, scn0, alpha0)
 
     times = []
     for _ in range(args.repeats):
@@ -74,7 +90,7 @@ def main():
     best = min(times)
     solves_per_sec = args.batch / best
     result = {
-        "metric": f"{args.solver}_{args.engine}_solves_per_sec_per_chip",
+        "metric": f"{args.solver}_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
@@ -84,7 +100,9 @@ def main():
         f"# batch={args.batch} best={best*1000:.1f}ms "
         f"mean={1000*sum(times)/len(times):.1f}ms compile+first={compile_s:.1f}s "
         f"per-solve={1e6*best/args.batch:.1f}us "
-        f"quality: mean_final_cost={mean_cost:.4f} converged={conv_frac:.2f}",
+        f"quality: avg_cost={avg_cost:.4f} max_cost={max_cost:.4f} "
+        f"endpoint_err={max(float(rep['start_pos_err']), float(rep['goal_pos_err'])):.4f} "
+        f"(ref: 1.6370/2.1964, err 0.046)",
         file=sys.stderr,
     )
 

@@ -418,6 +418,95 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
     return for_outer
 
 
+class _PallasInner(NamedTuple):
+    minimized: jnp.ndarray   # (B,)
+    inner_iter: jnp.ndarray  # (B,)
+    alpha: jnp.ndarray       # (J, T, B) — kernel layout
+    bls_lr: jnp.ndarray      # (B,)
+    loss: jnp.ndarray        # (B,)
+    grad: jnp.ndarray        # (J, T, B)
+    traj: jnp.ndarray        # (J, T, B)
+    vel: jnp.ndarray         # (J, T, B)
+
+
+def _make_pallas_bls_inner(cfg: PlannerConfig, basis, scn: Scenario,
+                           interpret: bool = False):
+    """BLS inner minimizer backed by the fused Pallas mega-kernel
+    (ops/pallas_step.py): one kernel launch per inner step, all
+    intermediates in VMEM.  Same semantics as _make_bls_inner."""
+    from ..ops import pallas_step
+
+    ox = scn.obstacles[:, 0, :]
+    oy = scn.obstacles[:, 1, :]
+    ow = scn.obstacle_weight
+    kvt = basis.kv.T
+
+    def for_outer(outer_iter):
+        del outer_iter
+
+        def inner(alpha, penalty: Penalty):
+            loss0, grad0, traj0, vel0 = fleet_cost_grad_eval(
+                cfg, basis, scn, penalty, alpha
+            )
+            B = loss0.shape[0]
+            to_k = lambda x: jnp.moveaxis(x, 1, 0)  # (T,J,B) -> (J,T,B)
+
+            def _raw_body(s: _PallasInner) -> _PallasInner:
+                out = pallas_step.bls_inner_step(
+                    cfg, basis.kv, kvt, basis.mix,
+                    s.alpha, s.grad, s.traj, s.vel,
+                    s.loss[None], s.bls_lr[None],
+                    penalty.lambda_sg[None], penalty.lambda_jl[None],
+                    scn.start, scn.goal, ox, oy, ow,
+                    interpret=interpret,
+                )
+                stop = out.stop[0] > 0.5
+                return _PallasInner(
+                    minimized=stop,
+                    inner_iter=jnp.where(stop, s.inner_iter, s.inner_iter + 1),
+                    alpha=out.new_alpha,
+                    bls_lr=out.new_lr[0],
+                    loss=out.new_loss[0],
+                    grad=jnp.where(stop, s.grad, out.new_grad),
+                    traj=out.new_traj,
+                    vel=out.new_vel,
+                )
+
+            def body(s: _PallasInner) -> _PallasInner:
+                return freeze_when(s.minimized, s, _raw_body(s))
+
+            init = _PallasInner(
+                minimized=jnp.zeros(B, bool),
+                inner_iter=jnp.zeros(B, jnp.int32),
+                alpha=to_k(alpha),
+                bls_lr=jnp.full((B,), cfg.bls_lr_start, jnp.float32),
+                loss=loss0,
+                grad=to_k(grad0),
+                traj=to_k(traj0),
+                vel=to_k(vel0),
+            )
+            if cfg.fixed_iters:
+                final = jax.lax.fori_loop(
+                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                )
+            else:
+                final = jax.lax.while_loop(
+                    lambda s: jnp.any(
+                        jnp.logical_and(
+                            s.inner_iter < cfg.max_inner_iteration,
+                            jnp.logical_not(s.minimized),
+                        )
+                    ),
+                    body,
+                    init,
+                )
+            return jnp.moveaxis(final.alpha, 0, 1), final.inner_iter, final.loss
+
+        return inner
+
+    return for_outer
+
+
 class _GdInner(NamedTuple):
     minimized: jnp.ndarray
     inner_iter: jnp.ndarray
@@ -496,12 +585,17 @@ def fleet_solve(
     scenarios: Scenario,
     alpha0: Optional[jnp.ndarray] = None,
     solver: str = "bls",
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> SolveResult:
     """Solve a batch of scenarios in the batch-trailing layout.
 
     Args:
       scenarios: leading-batch Scenario (same convention as solve_batch).
       alpha0: optional (B, T, J) warm start.
+      backend: 'xla' (portable) or 'pallas' (fused TPU mega-kernel per inner
+        step; requires batch % 128 == 0; 'interpret' runs it interpreted for
+        CPU testing).
     Returns: SolveResult with leading-batch leaves.
     """
     fs = to_fleet(scenarios)
@@ -514,13 +608,19 @@ def fleet_solve(
         jnp.full((B,), cfg.lambda_sg_constraint, jnp.float32),
         jnp.full((B,), cfg.lambda_jl_constraint, jnp.float32),
     )
-    make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
+    if backend == "pallas":
+        if solver != "bls":
+            raise NotImplementedError("pallas backend currently covers bls")
+        inner = _make_pallas_bls_inner(cfg, basis, fs, interpret=interpret)
+    else:
+        make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
+        inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(
         cfg,
         basis,
         fs,  # only passed through to constraints_fn below
         a0,
-        make_inner(cfg, basis, fs),
+        inner,
         constraints_fn=lambda a: fleet_constraints(cfg, basis, fs, a),
         penalty0=penalty0,
     )
@@ -530,11 +630,20 @@ def fleet_solve(
     )
 
 
-def make_fleet_solver(cfg: PlannerConfig, basis: Basis, solver: str = "bls"):
+def make_fleet_solver(
+    cfg: PlannerConfig,
+    basis: Basis,
+    solver: str = "bls",
+    backend: str = "xla",
+    interpret: bool = False,
+):
     """Jitted fleet solver: leading-batch Scenario -> SolveResult."""
 
     @jax.jit
     def run(scenarios: Scenario) -> SolveResult:
-        return fleet_solve(cfg, basis, scenarios, solver=solver)
+        return fleet_solve(
+            cfg, basis, scenarios, solver=solver, backend=backend,
+            interpret=interpret,
+        )
 
     return run

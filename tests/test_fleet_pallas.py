@@ -1,0 +1,59 @@
+"""Pallas-backend fleet solver vs the XLA fleet backend (interpret mode on
+CPU, tiny budgets — the compiled TPU path is exercised by bench runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import irm_motion_planning_tpu as mp
+from irm_motion_planning_tpu.solvers import fleet
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mp.PlannerConfig(max_inner_iteration=6, max_outer_iteration=2,
+                           fixed_iters=True)
+    basis = mp.make_basis(cfg)
+    scns = mp.random_scenarios(cfg, jax.random.PRNGKey(9), 128)
+    return cfg, basis, scns
+
+
+def test_pallas_backend_matches_xla_quality(setup):
+    cfg, basis, scns = setup
+    r_x = fleet.fleet_solve(cfg, basis, scns, backend="xla")
+    r_p = fleet.fleet_solve(cfg, basis, scns, backend="pallas", interpret=True)
+    pen = mp.initial_penalty(cfg)
+    gaps = []
+    for i in range(0, 128, 16):
+        scn_i = jax.tree_util.tree_map(lambda x: x[i], scns)
+        cx = float(mp.total_cost(cfg, basis, scn_i, pen, r_x.alpha[i]))
+        cp = float(mp.total_cost(cfg, basis, scn_i, pen, r_p.alpha[i]))
+        gaps.append(abs(cx - cp) / max(abs(cx), 1e-6))
+    assert np.median(gaps) < 5e-2, gaps
+    # iteration counters from the two backends agree on most lanes
+    same = np.asarray(r_x.stats.inner_iters) == np.asarray(r_p.stats.inner_iters)
+    assert same.mean() > 0.8
+
+
+def test_pallas_backend_reference_scene(setup):
+    cfg, basis, _ = setup
+    scns = mp.replicate_scenario(mp.reference_scenario(cfg), 128)
+    res = fleet.fleet_solve(cfg, basis, scns, backend="pallas", interpret=True)
+    # identical lanes stay identical through the kernel path
+    np.testing.assert_array_equal(
+        np.asarray(res.alpha[0]), np.asarray(res.alpha[64])
+    )
+    scn = mp.reference_scenario(cfg)
+    pen = mp.initial_penalty(cfg)
+    c0 = float(mp.total_cost(cfg, basis, scn, pen,
+                             fleet.fleet_solve(cfg, basis, scns,
+                                               backend="xla").alpha[0]))
+    cp = float(mp.total_cost(cfg, basis, scn, pen, res.alpha[0]))
+    assert abs(c0 - cp) / abs(c0) < 5e-2
+
+
+def test_pallas_backend_rejects_gd(setup):
+    cfg, basis, scns = setup
+    with pytest.raises(NotImplementedError):
+        fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="pallas")
