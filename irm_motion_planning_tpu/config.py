@@ -95,6 +95,9 @@ class PlannerConfig:
     # f32 matmul precision on the MXU ('highest' = f32-accurate for parity
     # with the CPU reference; 'default' = bf16 passes, fastest).
     matmul_precision: Literal["default", "high", "highest"] = "highest"
+    # Lanes per Pallas kernel tile (batch must be a multiple).  Bigger tiles
+    # amortize per-tile scheduling overhead; bounded by VMEM.
+    pallas_block_b: int = 512
 
     def __post_init__(self) -> None:
         if self.n_joints != len(self.link_length):

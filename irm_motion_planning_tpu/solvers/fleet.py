@@ -418,93 +418,165 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
     return for_outer
 
 
-class _PallasInner(NamedTuple):
-    minimized: jnp.ndarray   # (B,)
-    inner_iter: jnp.ndarray  # (B,)
-    alpha: jnp.ndarray       # (J, T, B) — kernel layout
-    bls_lr: jnp.ndarray      # (B,)
-    loss: jnp.ndarray        # (B,)
-    grad: jnp.ndarray        # (J, T, B)
-    traj: jnp.ndarray        # (J, T, B)
-    vel: jnp.ndarray         # (J, T, B)
+def _planes_constraints(cfg: PlannerConfig, scn: Scenario, traj, vel):
+    """Per-lane hard-constraint check from kernel-layout (J, T, B) planes."""
+    d0 = traj[:, 0, :] - scn.start          # (J, B)
+    dN = traj[:, -1, :] - scn.goal
+    pos_ok = jnp.logical_and(
+        jnp.linalg.norm(d0, axis=0) < cfg.eps_position,
+        jnp.linalg.norm(dN, axis=0) < cfg.eps_position,
+    )
+    vel_ok = jnp.logical_and(
+        jnp.linalg.norm(vel[:, 0, :], axis=0) < cfg.eps_velocity,
+        jnp.linalg.norm(vel[:, -1, :], axis=0) < cfg.eps_velocity,
+    )
+    box_ok = jnp.logical_and(
+        traj.max(axis=(0, 1)) <= cfg.max_joint_position,
+        traj.min(axis=(0, 1)) >= cfg.min_joint_position,
+    )
+    vbox_ok = jnp.abs(vel).max(axis=(0, 1)) <= cfg.max_joint_velocity
+    return pos_ok & vel_ok & box_ok & vbox_ok
 
 
-def _make_pallas_bls_inner(cfg: PlannerConfig, basis, scn: Scenario,
-                           interpret: bool = False):
-    """BLS inner minimizer backed by the fused Pallas mega-kernel
-    (ops/pallas_step.py): one kernel launch per inner step, all
-    intermediates in VMEM.  Same semantics as _make_bls_inner."""
+class _PallasOuter(NamedTuple):
+    fulfilled: jnp.ndarray    # (B,)
+    outer_iter: jnp.ndarray   # (B,) i32
+    alpha: jnp.ndarray        # (J, T, B)
+    lam_sg: jnp.ndarray       # (B,)
+    lam_jl: jnp.ndarray       # (B,)
+    total_inner: jnp.ndarray  # (B,) i32
+    final_loss: jnp.ndarray   # (B,)
+
+
+def _pallas_solve(
+    cfg: PlannerConfig, basis, scn: Scenario, a0, solver: str = "bls",
+    interpret: bool = False,
+) -> SolveResult:
+    """Penalty-method dual loop with the fused Pallas kernels: one kernel
+    launch per inner step (in-kernel lane freezing), one eval kernel per
+    penalty round.  State lives in kernel layout (J, T, B) throughout."""
     from ..ops import pallas_step
 
     ox = scn.obstacles[:, 0, :]
     oy = scn.obstacles[:, 1, :]
     ow = scn.obstacle_weight
     kvt = basis.kv.T
+    B = a0.shape[-1]
+    block_b = cfg.pallas_block_b if B % cfg.pallas_block_b == 0 else 128
+    step_fn = {
+        "bls": pallas_step.bls_inner_step,
+        "gd": pallas_step.gd_inner_step,
+    }[solver]
+    gd_schedule = jnp.asarray(cfg.gd_lr, dtype=jnp.float32)
 
-    def for_outer(outer_iter):
-        del outer_iter
+    def inner_round(alpha, lam_sg, lam_jl, skip, outer_iter):
+        """One penalty round.  ``skip`` lanes (already fulfilled) are frozen
+        from step 0.  Returns (alpha, traj, vel, iters, loss)."""
+        ev = pallas_step.cost_grad_eval(
+            cfg, basis.kv, kvt, basis.mix, alpha,
+            lam_sg[None], lam_jl[None], scn.start, scn.goal, ox, oy, ow,
+            block_b=block_b, interpret=interpret,
+        )
+        minimized0 = skip.astype(jnp.float32)[None]
+        if solver == "bls":
+            lr0 = jnp.full((1, B), cfg.bls_lr_start, jnp.float32)
+        else:
+            # per-lane learning rate from the per-outer-round schedule
+            # (ref: optimizer_GD.py:209)
+            lr0 = gd_schedule[jnp.clip(outer_iter, 0, len(cfg.gd_lr) - 1)][None]
 
-        def inner(alpha, penalty: Penalty):
-            loss0, grad0, traj0, vel0 = fleet_cost_grad_eval(
-                cfg, basis, scn, penalty, alpha
+        state0 = (
+            alpha, ev.grad, ev.traj, ev.vel, ev.loss,
+            lr0,
+            minimized0,
+            jnp.zeros((B,), jnp.int32),   # accepted-step counter
+            jnp.asarray(0, jnp.int32),    # loop counter
+        )
+
+        def body(s):
+            al, gr, tr, ve, lo, lr, mn, iters, k = s
+            out = step_fn(
+                cfg, basis.kv, kvt, basis.mix, al, gr, tr, ve,
+                lo, lr, mn, lam_sg[None], lam_jl[None],
+                scn.start, scn.goal, ox, oy, ow,
+                block_b=block_b, interpret=interpret,
             )
-            B = loss0.shape[0]
-            to_k = lambda x: jnp.moveaxis(x, 1, 0)  # (T,J,B) -> (J,T,B)
-
-            def _raw_body(s: _PallasInner) -> _PallasInner:
-                out = pallas_step.bls_inner_step(
-                    cfg, basis.kv, kvt, basis.mix,
-                    s.alpha, s.grad, s.traj, s.vel,
-                    s.loss[None], s.bls_lr[None],
-                    penalty.lambda_sg[None], penalty.lambda_jl[None],
-                    scn.start, scn.goal, ox, oy, ow,
-                    interpret=interpret,
-                )
-                stop = out.stop[0] > 0.5
-                return _PallasInner(
-                    minimized=stop,
-                    inner_iter=jnp.where(stop, s.inner_iter, s.inner_iter + 1),
-                    alpha=out.new_alpha,
-                    bls_lr=out.new_lr[0],
-                    loss=out.new_loss[0],
-                    grad=jnp.where(stop, s.grad, out.new_grad),
-                    traj=out.new_traj,
-                    vel=out.new_vel,
-                )
-
-            def body(s: _PallasInner) -> _PallasInner:
-                return freeze_when(s.minimized, s, _raw_body(s))
-
-            init = _PallasInner(
-                minimized=jnp.zeros(B, bool),
-                inner_iter=jnp.zeros(B, jnp.int32),
-                alpha=to_k(alpha),
-                bls_lr=jnp.full((B,), cfg.bls_lr_start, jnp.float32),
-                loss=loss0,
-                grad=to_k(grad0),
-                traj=to_k(traj0),
-                vel=to_k(vel0),
+            stepped = jnp.logical_and(mn[0] < 0.5, out.minimized[0] < 0.5)
+            return (
+                out.new_alpha, out.new_grad, out.new_traj, out.new_vel,
+                out.new_loss, out.new_lr, out.minimized,
+                iters + stepped.astype(jnp.int32), k + 1,
             )
-            if cfg.fixed_iters:
-                final = jax.lax.fori_loop(
-                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
-                )
-            else:
-                final = jax.lax.while_loop(
-                    lambda s: jnp.any(
-                        jnp.logical_and(
-                            s.inner_iter < cfg.max_inner_iteration,
-                            jnp.logical_not(s.minimized),
-                        )
-                    ),
-                    body,
-                    init,
-                )
-            return jnp.moveaxis(final.alpha, 0, 1), final.inner_iter, final.loss
 
-        return inner
+        if cfg.fixed_iters:
+            final = jax.lax.fori_loop(
+                0, cfg.max_inner_iteration, lambda _, s: body(s), state0
+            )
+        else:
+            final = jax.lax.while_loop(
+                lambda s: jnp.logical_and(
+                    s[-1] < cfg.max_inner_iteration, jnp.any(s[6][0] < 0.5)
+                ),
+                body,
+                state0,
+            )
+        al, _, tr, ve, lo, _, _, iters, _ = final
+        return al, tr, ve, iters, lo[0]
 
-    return for_outer
+    inc = jnp.float32(cfg.lambda_constraint_increase)
+
+    def outer_body(state: _PallasOuter) -> _PallasOuter:
+        alpha, traj, vel, iters, loss = inner_round(
+            state.alpha, state.lam_sg, state.lam_jl, state.fulfilled,
+            state.outer_iter,
+        )
+        ok = _planes_constraints(cfg, scn, traj, vel)
+        was = state.fulfilled
+        now = jnp.logical_or(was, ok)
+        return _PallasOuter(
+            fulfilled=now,
+            outer_iter=jnp.where(now, state.outer_iter, state.outer_iter + 1),
+            alpha=alpha,
+            lam_sg=jnp.where(now, state.lam_sg, state.lam_sg * inc),
+            lam_jl=jnp.where(now, state.lam_jl, state.lam_jl * inc),
+            total_inner=state.total_inner + iters,
+            final_loss=jnp.where(was, state.final_loss, loss),
+        )
+
+    init = _PallasOuter(
+        fulfilled=jnp.zeros((B,), bool),
+        outer_iter=jnp.zeros((B,), jnp.int32),
+        alpha=a0,
+        lam_sg=jnp.full((B,), cfg.lambda_sg_constraint, jnp.float32),
+        lam_jl=jnp.full((B,), cfg.lambda_jl_constraint, jnp.float32),
+        total_inner=jnp.zeros((B,), jnp.int32),
+        final_loss=jnp.full((B,), jnp.inf, jnp.float32),
+    )
+
+    if cfg.fixed_iters:
+        final = jax.lax.fori_loop(
+            0, cfg.max_outer_iteration, lambda _, s: outer_body(s), init
+        )
+    else:
+        final = jax.lax.while_loop(
+            lambda s: jnp.any(
+                jnp.logical_and(
+                    s.outer_iter < cfg.max_outer_iteration,
+                    jnp.logical_not(s.fulfilled),
+                )
+            ),
+            outer_body,
+            init,
+        )
+    return SolveResult(
+        alpha=alpha_from_fleet(jnp.moveaxis(final.alpha, 0, 1)),
+        stats=SolveStats(
+            outer_iters=final.outer_iter,
+            inner_iters=final.total_inner,
+            converged=final.fulfilled,
+            final_cost=final.final_loss,
+        ),
+    )
 
 
 class _GdInner(NamedTuple):
@@ -609,12 +681,11 @@ def fleet_solve(
         jnp.full((B,), cfg.lambda_jl_constraint, jnp.float32),
     )
     if backend == "pallas":
-        if solver != "bls":
-            raise NotImplementedError("pallas backend currently covers bls")
-        inner = _make_pallas_bls_inner(cfg, basis, fs, interpret=interpret)
-    else:
-        make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
-        inner = make_inner(cfg, basis, fs)
+        a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
+        return _pallas_solve(cfg, basis, fs, a0k, solver=solver,
+                             interpret=interpret)
+    make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
+    inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(
         cfg,
         basis,

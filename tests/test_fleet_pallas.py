@@ -53,7 +53,16 @@ def test_pallas_backend_reference_scene(setup):
     assert abs(c0 - cp) / abs(c0) < 5e-2
 
 
-def test_pallas_backend_rejects_gd(setup):
+def test_pallas_backend_gd(setup):
     cfg, basis, scns = setup
-    with pytest.raises(NotImplementedError):
-        fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="pallas")
+    r_x = fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="xla")
+    r_p = fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="pallas",
+                            interpret=True)
+    pen = mp.initial_penalty(cfg)
+    gaps = []
+    for i in range(0, 128, 32):
+        scn_i = jax.tree_util.tree_map(lambda x: x[i], scns)
+        cx = float(mp.total_cost(cfg, basis, scn_i, pen, r_x.alpha[i]))
+        cp = float(mp.total_cost(cfg, basis, scn_i, pen, r_p.alpha[i]))
+        gaps.append(abs(cx - cp) / max(abs(cx), 1e-6))
+    assert np.median(gaps) < 5e-2, gaps

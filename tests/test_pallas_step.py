@@ -57,14 +57,18 @@ def setup():
     return cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_lr
 
 
-def _run_pallas(cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_lr):
+def _run_pallas(cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_lr,
+                minimized=None):
     tr = lambda x: jnp.moveaxis(x, 1, 0).copy()  # (T,J,B)->(J,T,B)
     row = lambda x: x[None, :]
+    if minimized is None:
+        minimized = jnp.zeros((1, loss.shape[0]), jnp.float32)
     return pallas_step.bls_inner_step(
         cfg,
         basis.kv, basis.kv.T, basis.mix,
         tr(alpha), tr(grad), tr(traj), tr(vel),
-        row(loss), row(bls_lr), row(pen.lambda_sg), row(pen.lambda_jl),
+        row(loss), row(bls_lr), minimized,
+        row(pen.lambda_sg), row(pen.lambda_jl),
         fs.start, fs.goal,
         fs.obstacles[:, 0, :], fs.obstacles[:, 1, :], fs.obstacle_weight,
         interpret=True,
@@ -93,8 +97,22 @@ def test_pallas_step_matches_xla(setup):
                                rtol=2e-2)
     np.testing.assert_allclose(np.asarray(out.new_lr)[0], np.asarray(rlr),
                                rtol=1e-5)
-    agree = (np.asarray(out.stop)[0] > 0.5) == np.asarray(rstop)
+    agree = (np.asarray(out.minimized)[0] > 0.5) == np.asarray(rstop)
     assert agree.mean() > 0.95  # stop flags may flip on near-threshold lanes
+
+
+def test_pallas_step_frozen_lanes_pass_through(setup):
+    """Lanes entering with minimized=1 must come out bit-identical."""
+    cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_lr = setup
+    B = loss.shape[0]
+    frozen = jnp.ones((1, B), jnp.float32)
+    out = _run_pallas(cfg, basis, fs, pen, alpha, grad, traj, vel, loss,
+                      bls_lr, minimized=frozen)
+    back = lambda x: np.moveaxis(np.asarray(x), 0, 1)
+    np.testing.assert_array_equal(back(out.new_alpha), np.asarray(alpha))
+    np.testing.assert_array_equal(back(out.new_grad), np.asarray(grad))
+    np.testing.assert_array_equal(np.asarray(out.new_loss)[0], np.asarray(loss))
+    np.testing.assert_array_equal(np.asarray(out.new_lr)[0], np.asarray(bls_lr))
 
 
 def test_pallas_step_iterated_descends(setup):
@@ -109,3 +127,22 @@ def test_pallas_step_iterated_descends(setup):
                  back(out.new_vel), out.new_loss[0], out.new_lr[0])
         losses.append(float(out.new_loss[0].mean()))
     assert losses[-1] < losses[0]
+
+
+def test_pallas_eval_matches_xla(setup):
+    cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_lr = setup
+    tr = lambda x: jnp.moveaxis(x, 1, 0).copy()
+    out = pallas_step.cost_grad_eval(
+        cfg, basis.kv, basis.kv.T, basis.mix, tr(alpha),
+        pen.lambda_sg[None], pen.lambda_jl[None],
+        fs.start, fs.goal,
+        fs.obstacles[:, 0, :], fs.obstacles[:, 1, :], fs.obstacle_weight,
+        interpret=True,
+    )
+    back = lambda x: np.moveaxis(np.asarray(x), 0, 1)
+    np.testing.assert_allclose(np.asarray(out.loss)[0], np.asarray(loss),
+                               rtol=2e-3)
+    np.testing.assert_allclose(back(out.grad), np.asarray(grad),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(back(out.traj), np.asarray(traj),
+                               rtol=1e-3, atol=2e-2)
