@@ -26,13 +26,16 @@ from irm_motion_planning_tpu.parallel import mesh as meshlib
 from irm_motion_planning_tpu.parallel import sharded
 
 
-def measure(cfg, basis, n_devices, per_device, repeats, solver="bls"):
+def measure(cfg, basis, n_devices, per_device, repeats, solver="bls",
+            engine="fleet", backend="xla"):
     devices = jax.devices()[:n_devices]
     mesh = meshlib.make_mesh(devices)
     batch = per_device * n_devices
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), batch)
     scns = meshlib.shard_batch(mesh, scns)
-    run = sharded.make_shard_map_solver(cfg, basis, mesh, solver=solver)
+    run = sharded.make_shard_map_solver(
+        cfg, basis, mesh, solver=solver, engine=engine, backend=backend
+    )
     jax.block_until_ready(run(scns))  # compile + warm-up
     times = []
     for _ in range(repeats):
@@ -51,6 +54,8 @@ def main():
     p.add_argument("--max-devices", type=int, default=0, help="0 = all")
     p.add_argument("--max-inner-iteration", type=int, default=200)
     p.add_argument("--max-outer-iteration", type=int, default=10)
+    p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet")
+    p.add_argument("--backend", choices=["pallas", "xla"], default="xla")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(
@@ -74,7 +79,8 @@ def main():
     results = []
     base = None
     for n in counts:
-        sps = measure(cfg, basis, n, args.per_device, args.repeats, args.solver)
+        sps = measure(cfg, basis, n, args.per_device, args.repeats,
+                      args.solver, args.engine, args.backend)
         if base is None:
             base = sps
         eff = sps / (base * n)

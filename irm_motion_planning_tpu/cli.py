@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Scenario batch size; 0 = single-scenario mode")
     p.add_argument("--random-scenarios", type=_bool, default=False,
                    help="With --batch: randomize start/goal/obstacles per lane")
+    p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
+                   help="Batched engine: fleet (batch-trailing MXU layout) or vmap")
+    p.add_argument("--backend", choices=["pallas", "xla"], default="xla",
+                   help="Fleet inner-step backend (pallas = fused TPU kernels)")
     p.add_argument("--bls-mode", choices=["sequential", "ladder"], default="sequential",
                    help="Line search execution: reference-sequential or parallel ladder")
     p.add_argument("--fixed-iters", type=_bool, default=False,
@@ -167,9 +171,16 @@ def main(argv=None) -> int:
             scns = random_scenarios(cfg, jax.random.PRNGKey(args.seed), args.batch)
         else:
             scns = replicate_scenario(scn, args.batch)
-        run_batch = batched.make_batched_solver(
-            cfg, basis, solver=args.optimizer_name
-        )
+        if args.engine == "fleet":
+            from .solvers import fleet
+
+            run_batch = fleet.make_fleet_solver(
+                cfg, basis, solver=args.optimizer_name, backend=args.backend
+            )
+        else:
+            run_batch = batched.make_batched_solver(
+                cfg, basis, solver=args.optimizer_name
+            )
 
         def run():
             return run_batch(scns)

@@ -54,17 +54,33 @@ def make_sharded_solver(
 
 
 def make_shard_map_solver(
-    cfg: PlannerConfig, basis: Basis, mesh: Mesh, solver: str = "bls"
+    cfg: PlannerConfig,
+    basis: Basis,
+    mesh: Mesh,
+    solver: str = "bls",
+    engine: str = "vmap",
+    backend: str = "xla",
 ):
     """Explicit SPMD solver: each device runs the batched solve on its local
     scenario shard, then global fleet statistics are reduced with psum over
     the mesh (returned replicated on every device).
 
+    ``engine='fleet'`` runs the batch-trailing MXU engine per shard
+    (``backend='pallas'`` for the fused TPU kernels — the production
+    configuration for pod-scale sweeps).
+
     Returns ``scenarios -> (SolveResult sharded, stats dict replicated)``.
     """
 
     def per_device(basis_arg: Basis, scenarios: Scenario):
-        res = solve_batch(cfg, basis_arg, scenarios, solver=solver)
+        if engine == "fleet":
+            from ..solvers.fleet import fleet_solve
+
+            res = fleet_solve(
+                cfg, basis_arg, scenarios, solver=solver, backend=backend
+            )
+        else:
+            res = solve_batch(cfg, basis_arg, scenarios, solver=solver)
         n_local = res.stats.converged.shape[0]
         n_total = jax.lax.psum(jnp.float32(n_local), SCENARIO_AXIS)
         conv = jax.lax.psum(
