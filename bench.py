@@ -22,10 +22,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the solver program is large (fused loops) and
+# remote TPU compiles are slow; cache executables on disk so repeat benchmark
+# runs skip straight to execution.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import irm_motion_planning_tpu as mp
 from irm_motion_planning_tpu.solvers import batched
@@ -41,8 +51,10 @@ def main():
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
                    help="fleet = batch-trailing MXU layout; vmap = per-lane")
-    p.add_argument("--backend", choices=["pallas", "xla"], default="pallas",
-                   help="fleet inner-step backend (pallas = fused mega-kernel)")
+    p.add_argument("--backend", choices=["fused", "pallas", "xla"],
+                   default="fused",
+                   help="fleet backend: fused = whole-solve VMEM-resident "
+                        "kernel, pallas = per-step kernel, xla = portable")
     p.add_argument("--inner", type=int, default=15,
                    help="fixed inner steps per penalty round (10 rounds)")
     args = p.parse_args()
@@ -55,9 +67,8 @@ def main():
     if args.engine == "fleet":
         from irm_motion_planning_tpu.solvers import fleet
 
-        backend = args.backend if args.solver == "bls" else "xla"
         run = fleet.make_fleet_solver(
-            cfg, basis, solver=args.solver, backend=backend
+            cfg, basis, solver=args.solver, backend=args.backend
         )
     else:
         run = batched.make_batched_solver(cfg, basis, solver=args.solver)

@@ -55,7 +55,7 @@ def main():
     p.add_argument("--max-inner-iteration", type=int, default=200)
     p.add_argument("--max-outer-iteration", type=int, default=10)
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet")
-    p.add_argument("--backend", choices=["pallas", "xla"], default="xla")
+    p.add_argument("--backend", choices=["fused", "pallas", "xla"], default="xla")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(

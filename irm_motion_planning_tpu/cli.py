@@ -86,8 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --batch: randomize start/goal/obstacles per lane")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
                    help="Batched engine: fleet (batch-trailing MXU layout) or vmap")
-    p.add_argument("--backend", choices=["pallas", "xla"], default="xla",
-                   help="Fleet inner-step backend (pallas = fused TPU kernels)")
+    p.add_argument("--backend", choices=["fused", "pallas", "xla"], default="xla",
+                   help="Fleet backend: fused (whole-solve TPU kernel), pallas "
+                        "(per-step TPU kernel), xla (portable)")
     p.add_argument("--bls-mode", choices=["sequential", "ladder"], default="sequential",
                    help="Line search execution: reference-sequential or parallel ladder")
     p.add_argument("--fixed-iters", type=_bool, default=False,

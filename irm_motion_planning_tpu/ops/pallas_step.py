@@ -223,6 +223,130 @@ class _Body:
         return loss, grad, nt, nv
 
 
+def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
+              start, goal, ox, oy, ow, lam_sg, lam_jl,
+              alpha, grad, traj, vel, loss, bls_lr, minimized):
+    """One BLS inner step on plane tuples (pure arrays, no refs): normalized
+    direction, early-exiting Armijo ladder via the linearized evaluation,
+    accepted step, fused cost/grad/eval at the new iterate, in-kernel lane
+    freezing.  ``minimized`` is the f32 0/1 sticky stop flag; returns
+    (alpha, grad, traj, vel, loss, lr, new_min) with frozen lanes passed
+    through unchanged.  Shared by the per-step kernel and the VMEM-resident
+    whole-solve kernel (semantics: ref optimizer_BLS.py:126-213 with the
+    parallel-ladder redesign)."""
+    J, BT = body.J, body.BT
+    n = cfg.max_bls_iteration
+    frozen = minimized > 0.5
+
+    g2 = jnp.zeros((1, BT), jnp.float32)
+    for j in range(J):
+        g2 = g2 + jnp.sum(grad[j] * grad[j], axis=0, keepdims=True)
+    inv_norm = jax.lax.rsqrt(g2)
+    n_grad = [grad[j] * inv_norm for j in range(J)]
+    # reference quirk (optimizer_BLS.py:86): sum over ALL (J, J) entries of
+    # grad^T @ n_grad == sum_t rowsum(grad)_t * rowsum(n_grad)_t.
+    gsum = grad[0]
+    for j in range(1, J):
+        gsum = gsum + grad[j]
+    alpha_norm = jnp.sum(gsum * (gsum * inv_norm), axis=0, keepdims=True)
+
+    # evaluate the search direction once (evaluation is linear in alpha)
+    gtraj, gvel = body.forward_planes(kv, mix, n_grad)
+
+    # Ladder as an early-exiting loop: rungs are tried in the same order as
+    # the sequential reference; the loop ends as soon as every live lane in
+    # the tile has its first Armijo pass.
+    def ladder_cond(c):
+        r, rung, found, lr_best, loss_best = c
+        want = jnp.logical_and(found == 0.0, jnp.logical_not(frozen))
+        return jnp.logical_and(r < n, jnp.any(want))
+
+    def ladder_body(c):
+        r, rung, found, lr_best, loss_best = c
+        lr_r = bls_lr * rung
+        a_fac = 1.0 - cfg.lambda_reg * lr_r
+        cand_t = [a_fac * traj[j] - lr_r * gtraj[j] for j in range(J)]
+        cand_v = [a_fac * vel[j] - lr_r * gvel[j] for j in range(J)]
+        ee_x, ee_y, _ = body.fk_ee(cand_t)
+        cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
+        closs = body.scalar_cost(
+            cand_t, cand_v, cost_v, start, goal, lam_sg, lam_jl
+        )
+        required = loss - cfg.bls_alpha * lr_r * alpha_norm
+        ok = jnp.logical_and(closs <= required, found == 0.0)
+        okf = ok.astype(jnp.float32)
+        return (
+            r + 1,
+            rung * cfg.bls_beta_minus,
+            jnp.maximum(found, okf),
+            lr_best + okf * lr_r,
+            jnp.where(ok, closs, loss_best),
+        )
+
+    _, _, found, lr_best, loss_best = jax.lax.while_loop(
+        ladder_cond,
+        ladder_body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.zeros((1, BT), jnp.float32),
+            jnp.zeros((1, BT), jnp.float32),
+            loss,
+        ),
+    )
+
+    any_ok = found > 0.0
+    lr_eff = jnp.where(any_ok, lr_best, 0.0)
+    new_lr = jnp.where(
+        any_ok, lr_best * cfg.bls_beta_plus,
+        bls_lr * (cfg.bls_beta_minus ** n),
+    )
+    stop = (loss - loss_best) < cfg.loop_loss_reduction
+
+    a_fac = 1.0 - cfg.lambda_reg * lr_eff
+    new_alpha = [a_fac * alpha[j] - lr_eff * n_grad[j] for j in range(J)]
+
+    nloss, ngrad, nt, nv = body.cost_grad_eval(
+        kv, kvt, mix, new_alpha, start, goal, ox, oy, ow, lam_sg, lam_jl
+    )
+
+    out_alpha = [jnp.where(frozen, alpha[j], new_alpha[j]) for j in range(J)]
+    out_grad = [
+        jnp.where(frozen, grad[j], jnp.where(stop, grad[j], ngrad[j]))
+        for j in range(J)
+    ]
+    out_traj = [jnp.where(frozen, traj[j], nt[j]) for j in range(J)]
+    out_vel = [jnp.where(frozen, vel[j], nv[j]) for j in range(J)]
+    out_loss = jnp.where(frozen, loss, jnp.where(stop, loss_best, nloss))
+    out_lr = jnp.where(frozen, bls_lr, new_lr)
+    new_min = jnp.maximum(minimized, stop.astype(jnp.float32))
+    return out_alpha, out_grad, out_traj, out_vel, out_loss, out_lr, new_min
+
+
+def _gd_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
+             start, goal, ox, oy, ow, lam_sg, lam_jl,
+             alpha, grad, traj, vel, loss, lr, minimized):
+    """One GD inner step on plane tuples (ref: optimizer_GD.py:184-194: the
+    stop test REJECTS the trial step).  Same signature/returns as
+    :func:`_bls_step`; ``lr`` passes through unchanged."""
+    J = body.J
+    frozen = minimized > 0.5
+    a_fac = 1.0 - cfg.lambda_reg * lr
+    trial = [a_fac * alpha[j] - lr * grad[j] for j in range(J)]
+    nloss, ngrad, nt, nv = body.cost_grad_eval(
+        kv, kvt, mix, trial, start, goal, ox, oy, ow, lam_sg, lam_jl
+    )
+    stop = (loss - nloss) < cfg.loop_loss_reduction
+    keep = jnp.logical_or(frozen, stop)
+    out_alpha = [jnp.where(keep, alpha[j], trial[j]) for j in range(J)]
+    out_grad = [jnp.where(keep, grad[j], ngrad[j]) for j in range(J)]
+    out_traj = [jnp.where(keep, traj[j], nt[j]) for j in range(J)]
+    out_vel = [jnp.where(keep, vel[j], nv[j]) for j in range(J)]
+    out_loss = jnp.where(keep, loss, nloss)
+    new_min = jnp.maximum(minimized, stop.astype(jnp.float32))
+    return out_alpha, out_grad, out_traj, out_vel, out_loss, lr, new_min
+
+
 def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
     body = _Body(cfg, T, J, O, BT)
     n = cfg.max_bls_iteration
@@ -254,106 +378,24 @@ def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
 
         @pl.when(tile_live)
         def _step():
-            kv, kvt, mix = kv_ref[:], kvt_ref[:], mix_ref[:]
-            lam_sg, lam_jl = lamsg_ref[:], lamjl_ref[:]
-            start, goal = start_ref[:], goal_ref[:]
-            ox, oy, ow = ox_ref[:], oy_ref[:], ow_ref[:]
-            loss, bls_lr = loss_ref[:], lr_ref[:]
-
-            grad = [grad_ref[j] for j in range(J)]
-            alpha = [alpha_ref[j] for j in range(J)]
-            traj = [traj_ref[j] for j in range(J)]
-            vel = [vel_ref[j] for j in range(J)]
-
-            # normalized direction + the reference's alpha_norm quirk
-            # (ref: optimizer_BLS.py:86): sum over ALL (J, J) entries of
-            # grad^T @ n_grad == sum_t rowsum(grad)_t * rowsum(n_grad)_t.
-            g2 = jnp.zeros((1, BT), jnp.float32)
+            a, g, t, v, lo, lr, mn = _bls_step(
+                body, cfg, kv_ref[:], kvt_ref[:], mix_ref[:],
+                start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
+                lamsg_ref[:], lamjl_ref[:],
+                [alpha_ref[j] for j in range(J)],
+                [grad_ref[j] for j in range(J)],
+                [traj_ref[j] for j in range(J)],
+                [vel_ref[j] for j in range(J)],
+                loss_ref[:], lr_ref[:], minimized_ref[:],
+            )
             for j in range(J):
-                g2 = g2 + jnp.sum(grad[j] * grad[j], axis=0, keepdims=True)
-            inv_norm = jax.lax.rsqrt(g2)
-            n_grad = [grad[j] * inv_norm for j in range(J)]
-            gsum = grad[0]
-            for j in range(1, J):
-                gsum = gsum + grad[j]
-            alpha_norm = jnp.sum(gsum * (gsum * inv_norm), axis=0, keepdims=True)
-
-            # evaluate the search direction once (evaluation is linear in alpha)
-            gtraj, gvel = body.forward_planes(kv, mix, n_grad)
-
-            # Ladder as an early-exiting loop: rungs are tried in the same
-            # order as the sequential reference; the loop ends as soon as
-            # every live lane in the tile has its first Armijo pass, skipping
-            # the unused tail of the ladder (identical results, less work).
-            def ladder_cond(c):
-                r, rung, found, lr_best, loss_best = c
-                want = jnp.logical_and(found == 0.0, jnp.logical_not(frozen))
-                return jnp.logical_and(r < n, jnp.any(want))
-
-            def ladder_body(c):
-                r, rung, found, lr_best, loss_best = c
-                lr_r = bls_lr * rung
-                a_fac = 1.0 - cfg.lambda_reg * lr_r
-                cand_t = [a_fac * traj[j] - lr_r * gtraj[j] for j in range(J)]
-                cand_v = [a_fac * vel[j] - lr_r * gvel[j] for j in range(J)]
-                ee_x, ee_y, _ = body.fk_ee(cand_t)
-                cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
-                closs = body.scalar_cost(
-                    cand_t, cand_v, cost_v, start, goal, lam_sg, lam_jl
-                )
-                required = loss - cfg.bls_alpha * lr_r * alpha_norm
-                ok = jnp.logical_and(closs <= required, found == 0.0)
-                okf = ok.astype(jnp.float32)
-                return (
-                    r + 1,
-                    rung * cfg.bls_beta_minus,
-                    jnp.maximum(found, okf),
-                    lr_best + okf * lr_r,
-                    jnp.where(ok, closs, loss_best),
-                )
-
-            _, _, found, lr_best, loss_best = jax.lax.while_loop(
-                ladder_cond,
-                ladder_body,
-                (
-                    jnp.asarray(0, jnp.int32),
-                    jnp.asarray(1.0, jnp.float32),
-                    jnp.zeros((1, BT), jnp.float32),
-                    jnp.zeros((1, BT), jnp.float32),
-                    loss,
-                ),
-            )
-
-            any_ok = found > 0.0
-            lr_eff = jnp.where(any_ok, lr_best, 0.0)
-            new_lr = jnp.where(
-                any_ok, lr_best * cfg.bls_beta_plus,
-                bls_lr * (cfg.bls_beta_minus ** n),
-            )
-            stop = (loss - loss_best) < cfg.loop_loss_reduction
-
-            a_fac = 1.0 - cfg.lambda_reg * lr_eff
-            new_alpha = [a_fac * alpha[j] - lr_eff * n_grad[j] for j in range(J)]
-
-            nloss, ngrad, nt, nv = body.cost_grad_eval(
-                kv, kvt, mix, new_alpha, start, goal, ox, oy, ow, lam_sg, lam_jl
-            )
-
-            # in-kernel lane freezing: frozen lanes pass through unchanged
-            for j in range(J):
-                new_alpha_ref[j] = jnp.where(frozen, alpha[j], new_alpha[j])
-                new_grad_ref[j] = jnp.where(
-                    frozen, grad[j], jnp.where(stop, grad[j], ngrad[j])
-                )
-                new_traj_ref[j] = jnp.where(frozen, traj[j], nt[j])
-                new_vel_ref[j] = jnp.where(frozen, vel[j], nv[j])
-            new_loss_ref[:] = jnp.where(
-                frozen, loss, jnp.where(stop, loss_best, nloss)
-            )
-            new_lr_ref[:] = jnp.where(frozen, bls_lr, new_lr)
-            new_min_ref[:] = jnp.maximum(
-                minimized_ref[:], stop.astype(jnp.float32)
-            )
+                new_alpha_ref[j] = a[j]
+                new_grad_ref[j] = g[j]
+                new_traj_ref[j] = t[j]
+                new_vel_ref[j] = v[j]
+            new_loss_ref[:] = lo
+            new_lr_ref[:] = lr
+            new_min_ref[:] = mn
 
     return kernel
 
@@ -373,32 +415,24 @@ def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
         new_alpha_ref, new_grad_ref, new_traj_ref, new_vel_ref,
         new_loss_ref, new_lr_ref, new_min_ref,
     ):
-        kv, kvt, mix = kv_ref[:], kvt_ref[:], mix_ref[:]
-        lam_sg, lam_jl = lamsg_ref[:], lamjl_ref[:]
-        start, goal = start_ref[:], goal_ref[:]
-        ox, oy, ow = ox_ref[:], oy_ref[:], ow_ref[:]
-        loss, lr = loss_ref[:], lr_ref[:]
-        frozen = minimized_ref[:] > 0.5
-
-        alpha = [alpha_ref[j] for j in range(J)]
-        grad = [grad_ref[j] for j in range(J)]
-        a_fac = 1.0 - cfg.lambda_reg * lr
-        trial = [a_fac * alpha[j] - lr * grad[j] for j in range(J)]
-        nloss, ngrad, nt, nv = body.cost_grad_eval(
-            kv, kvt, mix, trial, start, goal, ox, oy, ow, lam_sg, lam_jl
+        a, g, t, v, lo, lr, mn = _gd_step(
+            body, cfg, kv_ref[:], kvt_ref[:], mix_ref[:],
+            start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
+            lamsg_ref[:], lamjl_ref[:],
+            [alpha_ref[j] for j in range(J)],
+            [grad_ref[j] for j in range(J)],
+            [traj_ref[j] for j in range(J)],
+            [vel_ref[j] for j in range(J)],
+            loss_ref[:], lr_ref[:], minimized_ref[:],
         )
-        stop = (loss - nloss) < cfg.loop_loss_reduction
-        keep = jnp.logical_or(frozen, stop)
         for j in range(J):
-            new_alpha_ref[j] = jnp.where(keep, alpha[j], trial[j])
-            new_grad_ref[j] = jnp.where(keep, grad[j], ngrad[j])
-            new_traj_ref[j] = jnp.where(keep, traj_ref[j], nt[j])
-            new_vel_ref[j] = jnp.where(keep, vel_ref[j], nv[j])
-        new_loss_ref[:] = jnp.where(keep, loss, nloss)
+            new_alpha_ref[j] = a[j]
+            new_grad_ref[j] = g[j]
+            new_traj_ref[j] = t[j]
+            new_vel_ref[j] = v[j]
+        new_loss_ref[:] = lo
         new_lr_ref[:] = lr
-        new_min_ref[:] = jnp.maximum(
-            minimized_ref[:], stop.astype(jnp.float32)
-        )
+        new_min_ref[:] = mn
 
     return kernel
 
@@ -550,6 +584,208 @@ def bls_inner_step(
         loss, bls_lr, minimized, lam_sg, lam_jl, start, goal, ox, oy, ow,
     )
     return PallasStep(*outs)
+
+
+def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
+                       solver: str):
+    """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
+    optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
+    runs inside one kernel per lane tile — per-round fused re-evaluation,
+    the inner descent loop, in-kernel hard-constraint checks, and penalty
+    escalation — with every piece of solver state resident in VMEM.  HBM
+    traffic is exactly: read the warm start + scenario once, write the final
+    state once (vs. a full state round-trip per inner step for the per-step
+    kernel ladder)."""
+    body = _Body(cfg, T, J, O, BT)
+    rounds = cfg.max_outer_iteration
+    inner_n = cfg.max_inner_iteration
+    inc = float(cfg.lambda_constraint_increase)
+    step_fn = {"bls": _bls_step, "gd": _gd_step}[solver]
+    sched = [float(x) for x in cfg.gd_lr]
+
+    def constraints_ok(traj, vel, start, goal):
+        """Per-lane hard-constraint check on plane tuples -> (1, BT) f32
+        (mirrors fleet._planes_constraints / ref trajectory.py:129-137)."""
+        ps = jnp.zeros((1, BT), jnp.float32)
+        pg = jnp.zeros((1, BT), jnp.float32)
+        vs = jnp.zeros((1, BT), jnp.float32)
+        vg = jnp.zeros((1, BT), jnp.float32)
+        tmax = traj[0][0:1]
+        tmin = traj[0][0:1]
+        vmax = jnp.abs(vel[0][0:1])
+        for j in range(J):
+            d0 = traj[j][0:1] - start[j:j + 1]
+            dN = traj[j][T - 1:T] - goal[j:j + 1]
+            ps = ps + d0 * d0
+            pg = pg + dN * dN
+            v0 = vel[j][0:1]
+            vN = vel[j][T - 1:T]
+            vs = vs + v0 * v0
+            vg = vg + vN * vN
+            tmax = jnp.maximum(tmax, jnp.max(traj[j], axis=0, keepdims=True))
+            tmin = jnp.minimum(tmin, jnp.min(traj[j], axis=0, keepdims=True))
+            vmax = jnp.maximum(
+                vmax, jnp.max(jnp.abs(vel[j]), axis=0, keepdims=True)
+            )
+        pos_ok = jnp.logical_and(
+            jnp.sqrt(ps) < cfg.eps_position, jnp.sqrt(pg) < cfg.eps_position
+        )
+        vel_ok = jnp.logical_and(
+            jnp.sqrt(vs) < cfg.eps_velocity, jnp.sqrt(vg) < cfg.eps_velocity
+        )
+        box_ok = jnp.logical_and(
+            tmax <= cfg.max_joint_position, tmin >= cfg.min_joint_position
+        )
+        vbox_ok = vmax <= cfg.max_joint_velocity
+        return jnp.logical_and(
+            jnp.logical_and(pos_ok, vel_ok), jnp.logical_and(box_ok, vbox_ok)
+        ).astype(jnp.float32)
+
+    def kernel(
+        kv_ref, kvt_ref, mix_ref, a0_ref, lamsg_ref, lamjl_ref,
+        start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
+        out_alpha_ref, out_loss_ref, out_ful_ref, out_outer_ref,
+        out_inner_ref,
+    ):
+        kv, kvt, mix = kv_ref[:], kvt_ref[:], mix_ref[:]
+        start, goal = start_ref[:], goal_ref[:]
+        ox, oy, ow = ox_ref[:], oy_ref[:], ow_ref[:]
+        zeros = jnp.zeros((1, BT), jnp.float32)
+
+        def live_round(r, op):
+            alpha, lam_sg, lam_jl, fulfilled, outer, icnt, floss = op
+            # per-round fused re-evaluation under the current penalties
+            loss, grad, traj, vel = body.cost_grad_eval(
+                kv, kvt, mix, list(alpha), start, goal, ox, oy, ow,
+                lam_sg, lam_jl,
+            )
+            if solver == "bls":
+                lr0 = jnp.full((1, BT), cfg.bls_lr_start, jnp.float32)
+            else:
+                # per-round learning rate from the static schedule
+                # (ref: optimizer_GD.py:209); the round index is a traced
+                # scalar, so select by unrolled comparison.
+                lr_s = jnp.float32(0.0)
+                for l in range(len(sched) - 1):
+                    lr_s = lr_s + jnp.where(r == l, sched[l], 0.0)
+                lr_s = lr_s + jnp.where(
+                    r >= len(sched) - 1, sched[-1], 0.0
+                )
+                lr0 = jnp.full((1, BT), 1.0, jnp.float32) * lr_s
+            minimized = fulfilled
+
+            def istep(_, s):
+                alpha, grad, traj, vel, loss, lr, minimized, icnt = s
+                tile_live = jnp.any(minimized < 0.5)
+
+                def do(sx):
+                    alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
+                    a, g, t, v, lo, nlr, mn = step_fn(
+                        body, cfg, kv, kvt, mix, start, goal, ox, oy, ow,
+                        lam_sg, lam_jl,
+                        list(alpha), list(grad), list(traj), list(vel),
+                        loss, lr, minimized,
+                    )
+                    stepped = jnp.logical_and(
+                        minimized < 0.5, mn < 0.5
+                    ).astype(jnp.float32)
+                    return (
+                        tuple(a), tuple(g), tuple(t), tuple(v),
+                        lo, nlr, mn, icnt + stepped,
+                    )
+
+                return jax.lax.cond(tile_live, do, lambda sx: sx, s)
+
+            s0 = (
+                tuple(alpha), tuple(grad), tuple(traj), tuple(vel),
+                loss, lr0, minimized, icnt,
+            )
+            s = jax.lax.fori_loop(0, inner_n, istep, s0)
+            alpha, _, traj, vel, loss, _, _, icnt = s
+
+            ok = constraints_ok(traj, vel, start, goal)
+            was = fulfilled
+            now = jnp.maximum(was, ok)
+            floss = jnp.where(was > 0.5, floss, loss)
+            outer = jnp.where(now > 0.5, outer, outer + 1.0)
+            lam_sg = jnp.where(now > 0.5, lam_sg, lam_sg * inc)
+            lam_jl = jnp.where(now > 0.5, lam_jl, lam_jl * inc)
+            return (alpha, lam_sg, lam_jl, now, outer, icnt, floss)
+
+        def round_body(r, st):
+            tile_live = jnp.any(st[3] < 0.5)
+            return jax.lax.cond(
+                tile_live, lambda op: live_round(r, op), lambda op: op, st
+            )
+
+        init = (
+            tuple(a0_ref[j] for j in range(J)),
+            lamsg_ref[:], lamjl_ref[:],
+            zeros, zeros, zeros, jnp.full((1, BT), jnp.inf, jnp.float32),
+        )
+        final = jax.lax.fori_loop(0, rounds, round_body, init)
+        alpha, _, _, fulfilled, outer, icnt, floss = final
+        for j in range(J):
+            out_alpha_ref[j] = alpha[j]
+        out_loss_ref[:] = floss
+        out_ful_ref[:] = fulfilled
+        out_outer_ref[:] = outer
+        out_inner_ref[:] = icnt
+
+    return kernel
+
+
+class PallasSolve(NamedTuple):
+    alpha: jnp.ndarray       # (J, T, B)
+    final_loss: jnp.ndarray  # (1, B)
+    fulfilled: jnp.ndarray   # (1, B) f32 0/1
+    outer_iters: jnp.ndarray  # (1, B) f32
+    inner_iters: jnp.ndarray  # (1, B) f32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solver", "block_b", "interpret")
+)
+def fused_solve(
+    cfg: PlannerConfig,
+    kv, kvt, mix,
+    a0,                            # (J, T, B) warm start
+    lam_sg0, lam_jl0,              # (1, B)
+    start, goal,                   # (J, B)
+    ox, oy, ow,                    # (O, B)
+    solver: str = "bls",
+    block_b: int = 128,
+    interpret: bool = False,
+) -> PallasSolve:
+    """The whole penalty-method solve as ONE kernel launch over the fleet
+    (grid over lane tiles; all state VMEM-resident for the full solve)."""
+    J, T, B = a0.shape
+    O = ox.shape[0]
+    BT = block_b
+    assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
+    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver)
+    full, lanes3, lanes2 = _specs(T, J, O, BT)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=[
+            full((2 * T, T)), full((T, 2 * T)), full((J, J)),
+            lanes3(J, T), lanes2(1), lanes2(1),
+            lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
+        ],
+        out_specs=(
+            lanes3(J, T), lanes2(1), lanes2(1), lanes2(1), lanes2(1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((J, T, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
+    return PallasSolve(*outs)
 
 
 class PallasEval(NamedTuple):

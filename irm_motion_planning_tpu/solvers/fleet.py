@@ -448,6 +448,36 @@ class _PallasOuter(NamedTuple):
     final_loss: jnp.ndarray   # (B,)
 
 
+def _pallas_fused_solve(
+    cfg: PlannerConfig, basis, scn: Scenario, a0, solver: str = "bls",
+    interpret: bool = False,
+) -> SolveResult:
+    """The whole dual solve as ONE VMEM-resident kernel launch (see
+    ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
+    per-step launch overhead.  State layout (J, T, B) end to end."""
+    from ..ops import pallas_step
+
+    B = a0.shape[-1]
+    block_b = cfg.pallas_block_b if B % cfg.pallas_block_b == 0 else 128
+    out = pallas_step.fused_solve(
+        cfg, basis.kv, basis.kv.T, basis.mix, a0,
+        jnp.full((1, B), cfg.lambda_sg_constraint, jnp.float32),
+        jnp.full((1, B), cfg.lambda_jl_constraint, jnp.float32),
+        scn.start, scn.goal,
+        scn.obstacles[:, 0, :], scn.obstacles[:, 1, :], scn.obstacle_weight,
+        solver=solver, block_b=block_b, interpret=interpret,
+    )
+    return SolveResult(
+        alpha=alpha_from_fleet(jnp.moveaxis(out.alpha, 0, 1)),
+        stats=SolveStats(
+            outer_iters=out.outer_iters[0].astype(jnp.int32),
+            inner_iters=out.inner_iters[0].astype(jnp.int32),
+            converged=out.fulfilled[0] > 0.5,
+            final_cost=out.final_loss[0],
+        ),
+    )
+
+
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, solver: str = "bls",
     interpret: bool = False,
@@ -665,9 +695,10 @@ def fleet_solve(
     Args:
       scenarios: leading-batch Scenario (same convention as solve_batch).
       alpha0: optional (B, T, J) warm start.
-      backend: 'xla' (portable) or 'pallas' (fused TPU mega-kernel per inner
-        step; requires batch % 128 == 0; 'interpret' runs it interpreted for
-        CPU testing).
+      backend: 'xla' (portable), 'pallas' (fused TPU mega-kernel per inner
+        step), or 'fused' (the whole solve as ONE VMEM-resident kernel —
+        fastest).  Pallas backends require batch % 128 == 0; 'interpret'
+        runs them interpreted for CPU testing.
     Returns: SolveResult with leading-batch leaves.
     """
     fs = to_fleet(scenarios)
@@ -680,10 +711,13 @@ def fleet_solve(
         jnp.full((B,), cfg.lambda_sg_constraint, jnp.float32),
         jnp.full((B,), cfg.lambda_jl_constraint, jnp.float32),
     )
-    if backend == "pallas":
+    if backend in ("pallas", "fused"):
         a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
-        return _pallas_solve(cfg, basis, fs, a0k, solver=solver,
-                             interpret=interpret)
+        solve_impl = (
+            _pallas_fused_solve if backend == "fused" else _pallas_solve
+        )
+        return solve_impl(cfg, basis, fs, a0k, solver=solver,
+                          interpret=interpret)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(
