@@ -46,7 +46,9 @@ BASELINE_SOLVES_PER_SEC = 1.0 / REF_SOLVE_SECONDS
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=32768,
+                   help="scenario lanes; throughput rises with batch until "
+                        "~64k (fixed overheads amortize)")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",
@@ -57,10 +59,14 @@ def main():
                         "kernel, pallas = per-step kernel, xla = portable")
     p.add_argument("--inner", type=int, default=15,
                    help="fixed inner steps per penalty round (10 rounds)")
+    p.add_argument("--matmul-precision",
+                   choices=["default", "high", "highest"], default="highest",
+                   help="basis-GEMM precision (kernel dots follow this)")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(
-        bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner
+        bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner,
+        matmul_precision=args.matmul_precision,
     )
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)

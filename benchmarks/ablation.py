@@ -8,6 +8,11 @@ whole table costs one device program instead of five CLI runs.
 Usage:  python benchmarks/ablation.py [--solver bls]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -5,6 +5,11 @@ kernel itself, and the output transpose.  Guides optimization — run on TPU.
 Usage: python benchmarks/decompose.py [--batch 32768] [--backend fused]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -15,6 +15,11 @@ Usage:  python benchmarks/replan.py [--ticks 100] [--batch 0]
 Prints one JSON line per mode plus a summary line.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -14,6 +14,11 @@ Usage:
     python benchmarks/scaling.py --per-device 512 --repeats 3
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

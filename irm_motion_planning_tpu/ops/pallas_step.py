@@ -47,11 +47,19 @@ from ..config import PlannerConfig
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
+# Mosaic supports only DEFAULT and HIGHEST dot precisions in-kernel
+# (Precision.HIGH raises NotImplementedError); 'high' degrades to HIGHEST.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
-def _dot(a, b):
+
+def _dot(a, b, precision=HIGHEST):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        precision=HIGHEST, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=jnp.float32,
     )
 
 
@@ -63,12 +71,21 @@ class _Body:
         self.link = [float(l) for l in cfg.link_length]
         self.mean_jp = 0.5 * (cfg.max_joint_position + cfg.min_joint_position)
         self.std_jp = 0.5 * (cfg.max_joint_position - self.mean_jp)
+        # In-kernel dot precision follows the engine-wide matmul precision
+        # knob.  'highest' (6-pass f32) is the validated default: the RKHS
+        # coefficients are O(1e4) with O(1) cancellation (see CLAUDE.md);
+        # lower settings trade quality for ~2x dot throughput and must be
+        # re-validated against the quality distribution.
+        self.prec = _PRECISIONS[cfg.matmul_precision]
+
+    def _dot(self, a, b):
+        return _dot(a, b, precision=self.prec)
 
     # --- forward pieces (lists of (T, BT) planes) ---
 
     def forward_planes(self, kv, mix, planes):
         T, J = self.T, self.J
-        raw = [_dot(kv, planes[j]) for j in range(J)]          # J x (2T, BT)
+        raw = [self._dot(kv, planes[j]) for j in range(J)]     # J x (2T, BT)
         out_t, out_v = [], []
         for i in range(J):
             acc = raw[0] * mix[0, i]
@@ -90,13 +107,26 @@ class _Body:
             ee_y = ee_y + link[j] * jnp.sin(c[j])
         return ee_x, ee_y, c
 
+    def recip(self, x):
+        """Fast reciprocal: hardware approximate + one Newton step
+        (~1.4e-5 relative error — far below the 5e-3 cross-engine fp noise
+        floor, see CLAUDE.md).  The obstacle field pays O divides per element
+        per cost evaluation; this is the kernel's hottest scalar op."""
+        r = pl.reciprocal(x, approx=True)
+        return r * (2.0 - x * r)
+
     def obstacle_cost_v(self, ee_x, ee_y, ox, oy, ow):
+        """Obstacle repulsion field (ref: environment.py:32-43), dot-product
+        form: 0.5*d2 + 0.5 = q_o + h - (ox*ee_x + oy*ee_y) with per-obstacle
+        q_o = 0.5 + 0.5*|o|^2 and per-point h = 0.5*|ee|^2 hoisted out of
+        the O-loop."""
+        h = 0.5 * (ee_x * ee_x + ee_y * ee_y)
+        q = 0.5 + 0.5 * (ox * ox + oy * oy)   # (O, BT)
+        ow8 = 0.8 * ow
         acc = jnp.zeros_like(ee_x)
         for o in range(self.O):
-            dx = ee_x - ox[o:o + 1]
-            dy = ee_y - oy[o:o + 1]
-            d2 = dx * dx + dy * dy
-            acc = acc + ow[o:o + 1] * (0.8 / (0.5 + 0.5 * d2))
+            s = (h + q[o:o + 1]) - (ox[o:o + 1] * ee_x + oy[o:o + 1] * ee_y)
+            acc = acc + ow8[o:o + 1] * self.recip(s)
         return acc
 
     def scalar_cost(self, traj, vel, cost_v, start, goal, lam_sg, lam_jl):
@@ -138,21 +168,35 @@ class _Body:
                        ox, oy, ow, lam_sg, lam_jl):
         """Fused loss/grad/eval at alpha planes.  Returns
         (loss (1, BT), grad planes, traj planes, vel planes)."""
+        nt, nv = self.forward_planes(kv, mix, alpha)
+        loss, grad = self.cost_grad_from_traj(
+            kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
+        )
+        return loss, grad, nt, nv
+
+    def cost_grad_from_traj(self, kvt, mix, nt, nv, start, goal,
+                            ox, oy, ow, lam_sg, lam_jl):
+        """Fused loss + alpha-gradient given an already-evaluated
+        (traj, vel).  The RKHS evaluation is LINEAR in alpha, so callers
+        that form the iterate as an affine combination of evaluated points
+        (the line-search ladder) can skip the forward basis GEMMs entirely.
+        Returns (loss (1, BT), grad planes)."""
         cfg, T, J, O, BT = self.cfg, self.T, self.J, self.O, self.BT
         lam_max = cfg.lambda_max_cost
-        nt, nv = self.forward_planes(kv, mix, alpha)
         ee_x, ee_y, cang = self.fk_ee(nt)
 
         cost_v = jnp.zeros((T, BT), jnp.float32)
         gx = jnp.zeros((T, BT), jnp.float32)
         gy = jnp.zeros((T, BT), jnp.float32)
+        ow8 = 0.8 * ow
         for o in range(O):
             dx = ee_x - ox[o:o + 1]
             dy = ee_y - oy[o:o + 1]
             d2 = dx * dx + dy * dy
-            inv = 1.0 / (0.5 + 0.5 * d2)
-            cost_v = cost_v + ow[o:o + 1] * (0.8 * inv)
-            coef = (-0.8) * ow[o:o + 1] * (inv * inv)
+            inv = self.recip(0.5 + 0.5 * d2)
+            winv = ow8[o:o + 1] * inv
+            cost_v = cost_v + winv
+            coef = -(winv * inv)
             gx = gx + coef * dx
             gy = gy + coef * dy
 
@@ -212,7 +256,7 @@ class _Body:
 
         grad = []
         pulled = [
-            _dot(kvt, jnp.concatenate([grad_pos[j], grad_vel[j]], axis=0))
+            self._dot(kvt, jnp.concatenate([grad_pos[j], grad_vel[j]], axis=0))
             for j in range(J)
         ]
         for j in range(J):
@@ -220,7 +264,7 @@ class _Body:
             for i in range(1, J):
                 acc = acc + pulled[i] * mix[j, i]
             grad.append(acc)
-        return loss, grad, nt, nv
+        return loss, grad
 
 
 def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
@@ -306,8 +350,15 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     a_fac = 1.0 - cfg.lambda_reg * lr_eff
     new_alpha = [a_fac * alpha[j] - lr_eff * n_grad[j] for j in range(J)]
 
-    nloss, ngrad, nt, nv = body.cost_grad_eval(
-        kv, kvt, mix, new_alpha, start, goal, ox, oy, ow, lam_sg, lam_jl
+    # Linearized evaluation: the RKHS map alpha -> (traj, vel) is linear, so
+    # the accepted iterate's evaluation is the SAME affine combination as its
+    # alpha update (exact in real arithmetic; re-synced by the fresh forward
+    # evaluation at the start of every penalty round).  Skips the J forward
+    # basis GEMMs of a full cost_grad_eval per inner step.
+    nt = [a_fac * traj[j] - lr_eff * gtraj[j] for j in range(J)]
+    nv = [a_fac * vel[j] - lr_eff * gvel[j] for j in range(J)]
+    nloss, ngrad = body.cost_grad_from_traj(
+        kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
     )
 
     out_alpha = [jnp.where(frozen, alpha[j], new_alpha[j]) for j in range(J)]
