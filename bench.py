@@ -62,11 +62,14 @@ def main():
     p.add_argument("--matmul-precision",
                    choices=["default", "high", "highest"], default="highest",
                    help="basis-GEMM precision (kernel dots follow this)")
+    p.add_argument("--block-b", type=int, default=512,
+                   help="pallas lane-tile width (batch %% block_b == 0)")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(
         bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner,
         matmul_precision=args.matmul_precision,
+        pallas_block_b=args.block_b,
     )
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)

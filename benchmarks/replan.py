@@ -54,8 +54,9 @@ def drift_obstacles(scn: Scenario, tick: int, amp: float = 0.15) -> Scenario:
     )
 
 
-def run_mode(cfg, scn, ticks, batched):
-    rp = Replanner(cfg, budget_outer=2, budget_inner=25, batched=batched)
+def run_mode(cfg, scn, ticks, batched, engine="vmap", backend="xla"):
+    rp = Replanner(cfg, budget_outer=2, budget_inner=25, batched=batched,
+                   engine=engine, backend=backend)
     # Warm-up tick: compile excluded (ref protocol: optimizer_BLS.py:50-54).
     jax.block_until_ready(rp.plan(drift_obstacles(scn, 0)).alpha)
     t0 = time.time()
@@ -76,6 +77,10 @@ def main():
     p.add_argument("--batch", type=int, default=256,
                    help="fleet size for the batched mode (0 = skip)")
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
+    p.add_argument("--engine", choices=["fleet", "vmap"], default="vmap",
+                   help="batched-mode engine (fleet = MXU layout)")
+    p.add_argument("--backend", choices=["fused", "pallas", "xla"],
+                   default="xla", help="fleet backend for batched mode")
     args = p.parse_args()
 
     cfg = mp.PlannerConfig(bls_mode="ladder")
@@ -91,7 +96,8 @@ def main():
 
     if args.batch > 0:
         scnB = mp.replicate_scenario(scn1, args.batch)
-        hz, ms, cost = run_mode(cfg, scnB, args.ticks, batched=True)
+        hz, ms, cost = run_mode(cfg, scnB, args.ticks, batched=True,
+                                engine=args.engine, backend=args.backend)
         print(json.dumps({
             "metric": "replan_rate_fleet",
             "batch": args.batch,

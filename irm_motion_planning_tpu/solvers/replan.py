@@ -47,6 +47,8 @@ class Replanner:
     budget_inner: int = 25
     solver: str = "bls"
     batched: bool = False
+    engine: str = "vmap"
+    backend: str = "xla"
 
     def __post_init__(self):
         self.tick_cfg = self.cfg.replace(
@@ -59,9 +61,23 @@ class Replanner:
         cfg, basis = self.tick_cfg, self.basis
 
         if self.batched:
-            @jax.jit
-            def _solve(scn: Scenario, alpha0) -> SolveResult:
-                return solve_batch(cfg, basis, scn, alpha0, solver=self.solver)
+            if self.engine == "fleet":
+                from .fleet import fleet_solve
+
+                solver_name, backend = self.solver, self.backend
+
+                @jax.jit
+                def _solve(scn: Scenario, alpha0) -> SolveResult:
+                    return fleet_solve(
+                        cfg, basis, scn, alpha0, solver=solver_name,
+                        backend=backend,
+                    )
+            else:
+                @jax.jit
+                def _solve(scn: Scenario, alpha0) -> SolveResult:
+                    return solve_batch(
+                        cfg, basis, scn, alpha0, solver=self.solver
+                    )
 
             @jax.jit
             def _init(scn: Scenario):

@@ -113,6 +113,18 @@ def test_replanner_batched(setup):
     assert res2.alpha.shape[0] == 4
 
 
+def test_replanner_batched_fleet_engine(setup):
+    """Production replanning path: the batch-trailing fleet engine."""
+    cfg, _, scn = setup
+    rp = Replanner(cfg, budget_outer=1, budget_inner=10, batched=True,
+                   engine="fleet")
+    scns = mp.replicate_scenario(scn, 4)
+    res = rp.plan(scns)
+    assert res.alpha.shape[0] == 4
+    res2 = rp.plan(scns)
+    assert np.isfinite(np.asarray(res2.stats.final_cost)).all()
+
+
 _CLI_ENV = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
 
 
