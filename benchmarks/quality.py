@@ -1,0 +1,119 @@
+"""Cross-backend quality-distribution gate.
+
+Per-scene outcomes are fp-path-dependent (the early-stop threshold 1e-3 sits
+below cross-engine f32 noise ~5e-3, see CLAUDE.md), so backends must be
+compared DISTRIBUTIONALLY: run the same random scenario batch through each
+backend and compare converged fraction and the final-cost distribution.
+This is the runtime gate that the Pallas fast paths (approx reciprocal,
+linearized ladder, fused whole-solve kernel) trade only fp noise, not
+solution quality.
+
+Usage:  python benchmarks/quality.py [--batch 32768] [--backends xla,pallas,fused]
+Prints one JSON line per backend plus a verdict line.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+import irm_motion_planning_tpu as mp
+from irm_motion_planning_tpu.solvers import fleet
+
+
+def summarize(cfg, basis, scns, res):
+    """Per-lane unpenalized quality from a fleet SolveResult: blended
+    obstacle cost under both lambda extremes (the reference's final report,
+    ref: main.py:141-143) + endpoint error + converged fraction."""
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_cfg = cfg.replace(lambda_max_cost=0.0)
+    max_cfg = cfg.replace(lambda_max_cost=1.0)
+
+    @jax.jit
+    def lane_stats(alpha, scn):
+        avg = mp.total_cost(avg_cfg, basis, scn, pen0, alpha)
+        mx = mp.total_cost(max_cfg, basis, scn, pen0, alpha)
+        rep = mp.constraint_report(cfg, basis, scn, alpha)
+        err = jnp.maximum(rep["start_pos_err"], rep["goal_pos_err"])
+        return avg, mx, err
+
+    avg, mx, err = jax.vmap(lane_stats)(res.alpha, scns)
+    conv = res.stats.converged
+    q = lambda x, p: float(jnp.percentile(x, p))
+    return {
+        "converged_frac": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+        "avg_cost_mean": round(float(jnp.mean(avg)), 4),
+        "avg_cost_p50": round(q(avg, 50), 4),
+        "avg_cost_p90": round(q(avg, 90), 4),
+        "max_cost_mean": round(float(jnp.mean(mx)), 4),
+        "max_cost_p90": round(q(mx, 90), 4),
+        "endpoint_err_p90": round(q(err, 90), 5),
+        "mean_inner_steps": round(float(jnp.mean(
+            res.stats.inner_iters.astype(jnp.float32))), 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32768)
+    p.add_argument("--backends", default="xla,pallas,fused")
+    p.add_argument("--solver", choices=["bls", "gd"], default="bls")
+    p.add_argument("--inner", type=int, default=15)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tol-conv", type=float, default=0.01,
+                   help="max allowed converged-fraction gap vs first backend")
+    p.add_argument("--tol-cost", type=float, default=0.01,
+                   help="max allowed relative mean-cost gap vs first backend")
+    args = p.parse_args()
+
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner,
+    )
+    basis = mp.make_basis(cfg)
+    scns = mp.random_scenarios(cfg, jax.random.PRNGKey(args.seed), args.batch)
+
+    rows = {}
+    for backend in args.backends.split(","):
+        run = fleet.make_fleet_solver(cfg, basis, solver=args.solver,
+                                      backend=backend)
+        res = jax.block_until_ready(run(scns))
+        rows[backend] = summarize(cfg, basis, scns, res)
+        print(json.dumps({"backend": backend, **rows[backend]}),
+              file=sys.stderr)
+
+    names = list(rows)
+    base = rows[names[0]]
+    ok = True
+    for n in names[1:]:
+        r = rows[n]
+        if abs(r["converged_frac"] - base["converged_frac"]) > args.tol_conv:
+            ok = False
+        if abs(r["avg_cost_mean"] - base["avg_cost_mean"]) > (
+            args.tol_cost * max(abs(base["avg_cost_mean"]), 1e-6)
+        ):
+            ok = False
+    print(json.dumps({
+        "metric": "quality_distribution_gate",
+        "batch": args.batch,
+        "backends": rows,
+        "pass": ok,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
