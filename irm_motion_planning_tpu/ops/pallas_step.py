@@ -96,16 +96,23 @@ class _Body:
         return out_t, out_v
 
     def fk_ee(self, traj):
+        """EE rollout.  Returns (ee_x, ee_y, px, py) where px[j] =
+        L_j cos(c_j), py[j] = L_j sin(c_j) are the per-link tangent terms —
+        kept because the workspace Jacobian is exactly their suffix sums
+        rotated 90 degrees (sx = -py, sy = px), so gradient callers reuse
+        them instead of re-evaluating 2J transcendentals per element."""
         J, link = self.J, self.link
         c = [traj[0]]
         for j in range(1, J):
             c.append(c[-1] + traj[j])
-        ee_x = link[0] * jnp.cos(c[0])
-        ee_y = link[0] * jnp.sin(c[0])
+        px = [link[j] * jnp.cos(c[j]) for j in range(J)]
+        py = [link[j] * jnp.sin(c[j]) for j in range(J)]
+        ee_x = px[0]
+        ee_y = py[0]
         for j in range(1, J):
-            ee_x = ee_x + link[j] * jnp.cos(c[j])
-            ee_y = ee_y + link[j] * jnp.sin(c[j])
-        return ee_x, ee_y, c
+            ee_x = ee_x + px[j]
+            ee_y = ee_y + py[j]
+        return ee_x, ee_y, px, py
 
     def recip(self, x):
         """Fast reciprocal: hardware approximate + one Newton step
@@ -183,7 +190,7 @@ class _Body:
         Returns (loss (1, BT), grad planes)."""
         cfg, T, J, O, BT = self.cfg, self.T, self.J, self.O, self.BT
         lam_max = cfg.lambda_max_cost
-        ee_x, ee_y, cang = self.fk_ee(nt)
+        ee_x, ee_y, px, py = self.fk_ee(nt)
 
         cost_v = jnp.zeros((T, BT), jnp.float32)
         gx = jnp.zeros((T, BT), jnp.float32)
@@ -211,8 +218,10 @@ class _Body:
         wgx = wblend * gx
         wgy = wblend * gy
 
-        sx = [(-self.link[j]) * jnp.sin(cang[j]) for j in range(J)]
-        sy = [self.link[j] * jnp.cos(cang[j]) for j in range(J)]
+        # Jacobian tangents are the FK summands rotated 90 degrees: no new
+        # transcendentals (ref: robot.py:75-87's reverse-cumsum trick).
+        sx = [-py[j] for j in range(J)]
+        sy = [px[j] for j in range(J)]
         jac_x, jac_y = [None] * J, [None] * J
         accx = jnp.zeros((T, BT), jnp.float32)
         accy = jnp.zeros((T, BT), jnp.float32)
@@ -311,7 +320,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
         a_fac = 1.0 - cfg.lambda_reg * lr_r
         cand_t = [a_fac * traj[j] - lr_r * gtraj[j] for j in range(J)]
         cand_v = [a_fac * vel[j] - lr_r * gvel[j] for j in range(J)]
-        ee_x, ee_y, _ = body.fk_ee(cand_t)
+        ee_x, ee_y, _, _ = body.fk_ee(cand_t)
         cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
         closs = body.scalar_cost(
             cand_t, cand_v, cost_v, start, goal, lam_sg, lam_jl
