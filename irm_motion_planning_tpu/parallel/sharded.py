@@ -113,7 +113,7 @@ def make_shard_map_solver(
     )
 
     @jax.jit
-    def run(scenarios: Scenario):
-        return mapped(basis, scenarios)
+    def run(basis_arg: Basis, scenarios: Scenario):
+        return mapped(basis_arg, scenarios)
 
-    return run
+    return functools.partial(run, basis)

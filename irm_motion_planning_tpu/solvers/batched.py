@@ -55,13 +55,15 @@ def solve_batch(
 
 def make_batched_solver(cfg: PlannerConfig, basis: Basis, solver: str = "bls"):
     """Jitted batched solver: scenarios -> SolveResult.  Compiled once per
-    batch shape; obstacle/start/goal VALUES never recompile."""
+    batch shape; obstacle/start/goal VALUES never recompile.  The basis is a
+    bound traced argument, not a closure constant (constant-laden
+    executables pay ~20 ms per dispatch through the remote-TPU tunnel)."""
 
     @jax.jit
-    def run(scenarios: Scenario) -> SolveResult:
-        return solve_batch(cfg, basis, scenarios, solver=solver)
+    def run(basis_arg: Basis, scenarios: Scenario) -> SolveResult:
+        return solve_batch(cfg, basis_arg, scenarios, solver=solver)
 
-    return run
+    return functools.partial(run, basis)
 
 
 def batch_summary(result: SolveResult) -> dict:

@@ -749,13 +749,18 @@ def make_fleet_solver(
     backend: str = "xla",
     interpret: bool = False,
 ):
-    """Jitted fleet solver: leading-batch Scenario -> SolveResult."""
+    """Jitted fleet solver: leading-batch Scenario -> SolveResult.
+
+    The basis is bound as a traced ARGUMENT, not a closure constant:
+    executables with large embedded constants pay a ~20 ms fixed cost per
+    dispatch through the remote-TPU tunnel (measured: same program, same
+    inputs — 23 ms as closure constants vs 0.1 ms as arguments)."""
 
     @jax.jit
-    def run(scenarios: Scenario) -> SolveResult:
+    def run(basis_arg: Basis, scenarios: Scenario) -> SolveResult:
         return fleet_solve(
-            cfg, basis, scenarios, solver=solver, backend=backend,
+            cfg, basis_arg, scenarios, solver=solver, backend=backend,
             interpret=interpret,
         )
 
-    return run
+    return functools.partial(run, basis)

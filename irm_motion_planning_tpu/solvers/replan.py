@@ -17,6 +17,7 @@ configs[3]):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -58,46 +59,82 @@ class Replanner:
         self.basis = make_basis(self.tick_cfg)
         self._alpha: Optional[jnp.ndarray] = None
 
-        cfg, basis = self.tick_cfg, self.basis
+        cfg = self.tick_cfg
 
+        # The basis is bound as a traced argument (functools.partial), never
+        # a jit closure constant: constant-laden executables pay ~20 ms per
+        # dispatch through the remote-TPU tunnel.
         if self.batched:
             if self.engine == "fleet":
                 from .fleet import fleet_solve
 
                 solver_name, backend = self.solver, self.backend
 
-                @jax.jit
-                def _solve(scn: Scenario, alpha0) -> SolveResult:
+                def _solve_impl(basis: Basis, scn: Scenario, alpha0) -> SolveResult:
                     return fleet_solve(
                         cfg, basis, scn, alpha0, solver=solver_name,
                         backend=backend,
                     )
             else:
-                @jax.jit
-                def _solve(scn: Scenario, alpha0) -> SolveResult:
-                    return solve_batch(
-                        cfg, basis, scn, alpha0, solver=self.solver
-                    )
+                solver_name = self.solver
 
-            @jax.jit
-            def _init(scn: Scenario):
-                return jax.vmap(lambda s: init_alpha(cfg, basis, s.start, s.goal))(scn)
+                def _solve_impl(basis: Basis, scn: Scenario, alpha0) -> SolveResult:
+                    return solve_batch(cfg, basis, scn, alpha0, solver=solver_name)
+
+            def _init_impl(basis: Basis, scn: Scenario):
+                return jax.vmap(
+                    lambda s: init_alpha(cfg, basis, s.start, s.goal)
+                )(scn)
+        elif self.engine == "fleet":
+            # Single-scene via the fused fleet kernel, lane-padded to one
+            # tile.  On TPU the sequential while_loop solver is
+            # latency-bound (~24 ms for a 50-step budget: thousands of tiny
+            # serial ops), while one 128-lane kernel tile solves the same
+            # budget in ~1 ms — the whole tile costs the same as one lane.
+            from ..ops.scenario import replicate_scenario
+            from .fleet import fleet_solve
+
+            solver_name, backend = self.solver, self.backend
+            pad = 128
+
+            def _solve_impl(basis: Basis, scn: Scenario, alpha0) -> SolveResult:
+                scn_b = replicate_scenario(scn, pad)
+                a0 = jnp.broadcast_to(alpha0, (pad,) + alpha0.shape)
+                res = fleet_solve(
+                    cfg, basis, scn_b, a0, solver=solver_name, backend=backend,
+                )
+                return jax.tree_util.tree_map(lambda x: x[0], res)
+
+            def _init_impl(basis: Basis, scn: Scenario):
+                return init_alpha(cfg, basis, scn.start, scn.goal)
         else:
             from . import bls as _bls
             from . import gd as _gd
 
             fn = {"bls": _bls.solve, "gd": _gd.solve}[self.solver]
 
-            @jax.jit
-            def _solve(scn: Scenario, alpha0) -> SolveResult:
+            def _solve_impl(basis: Basis, scn: Scenario, alpha0) -> SolveResult:
                 return fn(cfg, basis, scn, alpha0)
 
-            @jax.jit
-            def _init(scn: Scenario):
+            def _init_impl(basis: Basis, scn: Scenario):
                 return init_alpha(cfg, basis, scn.start, scn.goal)
 
-        self._solve_fn = _solve
-        self._init_fn = _init
+        def _rollout_impl(basis: Basis, alpha0, scn_ticks: Scenario):
+            """The whole replanning loop ON DEVICE: lax.scan over the tick
+            axis, carrying the warm-start alpha.  One dispatch replans N
+            ticks — the TPU-native form of the loop (per-tick host dispatch
+            pays solver latency per tick; the scan pays it once)."""
+
+            def step(alpha, scn):
+                res = _solve_impl(basis, scn, alpha)
+                return res.alpha, res.stats
+
+            return jax.lax.scan(step, alpha0, scn_ticks)
+
+        self._solve_jit = jax.jit(_solve_impl)
+        self._solve_fn = functools.partial(self._solve_jit, self.basis)
+        self._init_fn = functools.partial(jax.jit(_init_impl), self.basis)
+        self._rollout_fn = functools.partial(jax.jit(_rollout_impl), self.basis)
 
     def reset(self) -> None:
         """Drop the warm start (next tick refits the smoothstep init)."""
@@ -111,3 +148,21 @@ class Replanner:
         result = self._solve_fn(scn, alpha0)
         self._alpha = result.alpha
         return result
+
+    def plan_rollout(self, scn_ticks: Scenario):
+        """Replan a whole obstacle-motion rollout in ONE device dispatch.
+
+        ``scn_ticks`` has a leading tick axis on every leaf ((ticks, ...) or
+        (ticks, B, ...) when batched): the streamed/predicted environment
+        per tick.  Each tick solves under the budget caps, warm-started from
+        the previous tick's alpha (lax.scan carry).  Returns (final
+        SolveResult-alpha, per-tick SolveStats stacked on the tick axis);
+        the warm start persists for subsequent ``plan``/``plan_rollout``
+        calls."""
+        first = jax.tree_util.tree_map(lambda x: x[0], scn_ticks)
+        alpha0 = (
+            self._alpha if self._alpha is not None else self._init_fn(first)
+        )
+        final_alpha, stats = self._rollout_fn(alpha0, scn_ticks)
+        self._alpha = final_alpha
+        return final_alpha, stats

@@ -91,7 +91,7 @@ def test_replanner_warm_start_and_moving_obstacles(setup):
         rk = rp.plan(moved)
         pen = mp.initial_penalty(rp.tick_cfg)
         costs.append(float(mp.total_cost(rp.tick_cfg, rp.basis, moved, pen, rk.alpha)))
-    assert rp._solve_fn._cache_size() == 1  # no recompiles across ticks
+    assert rp._solve_jit._cache_size() == 1  # no recompiles across ticks
     assert all(np.isfinite(costs))
     # warm start pays off: a fresh solve with the same tiny budget from the
     # smoothstep init should not beat the warm-started tick 3 materially
@@ -123,6 +123,43 @@ def test_replanner_batched_fleet_engine(setup):
     assert res.alpha.shape[0] == 4
     res2 = rp.plan(scns)
     assert np.isfinite(np.asarray(res2.stats.final_cost)).all()
+
+
+def test_replanner_single_scene_fleet_engine(setup):
+    """Single-scene low-latency path: lane-padded fleet solve (on TPU this
+    is the fused kernel; the xla backend keeps the test portable)."""
+    cfg, _, scn = setup
+    rp = Replanner(cfg, budget_outer=1, budget_inner=10, engine="fleet",
+                   backend="xla")
+    r1 = rp.plan(scn)
+    assert r1.alpha.shape == (cfg.n_timesteps, cfg.n_joints)
+    r2 = rp.plan(scn._replace(obstacles=scn.obstacles + 0.05))
+    assert np.isfinite(float(r2.stats.final_cost))
+
+
+def test_replanner_rollout_matches_tick_loop(setup):
+    """The on-device lax.scan rollout must replay the host tick loop
+    exactly: same engine, same ticks => same final alpha."""
+    cfg, _, scn = setup
+    ticks = [
+        scn._replace(obstacles=scn.obstacles + 0.05 * (k + 1)) for k in range(3)
+    ]
+
+    rp_loop = Replanner(cfg, budget_outer=1, budget_inner=8, engine="fleet",
+                        backend="xla")
+    for t in ticks:
+        r_loop = rp_loop.plan(t)
+
+    rp_roll = Replanner(cfg, budget_outer=1, budget_inner=8, engine="fleet",
+                        backend="xla")
+    scn_ticks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *ticks
+    )
+    final_alpha, stats = rp_roll.plan_rollout(scn_ticks)
+    assert stats.final_cost.shape[0] == 3
+    np.testing.assert_allclose(
+        np.asarray(final_alpha), np.asarray(r_loop.alpha), rtol=2e-5, atol=2e-5
+    )
 
 
 _CLI_ENV = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
