@@ -86,16 +86,23 @@ def main():
     else:
         run = batched.make_batched_solver(cfg, basis, solver=args.solver)
 
+    # Completion barrier: through the remote-TPU tunnel block_until_ready
+    # can return before pure-XLA loop programs finish (CLAUDE.md), so every
+    # timed run ends with a scalar host fetch.
+    import jax.numpy as jnp
+
+    def run_to_completion():
+        out = run(scns)
+        float(jnp.sum(out.stats.final_cost))
+        return out
+
     # Warm-up: compile + first execution excluded (ref: optimizer_BLS.py:50-54).
     t0 = time.time()
-    warm = run(scns)
-    jax.block_until_ready(warm)
+    warm = run_to_completion()
     compile_s = time.time() - t0
     # Quality of lane 0 (all lanes identical): unpenalized obstacle costs +
     # endpoint error, comparable to the reference's final report
     # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.034).
-    import jax.numpy as jnp
-
     scn0 = mp.reference_scenario(cfg)
     alpha0 = warm.alpha[0]
     pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
@@ -108,7 +115,7 @@ def main():
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        jax.block_until_ready(run(scns))
+        run_to_completion()
         times.append(time.time() - t0)
 
     best = min(times)

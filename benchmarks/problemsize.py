@@ -24,6 +24,7 @@ import json
 import time
 
 import jax
+import numpy as np
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -59,13 +60,20 @@ def main():
         scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
         run = fleet.make_fleet_solver(cfg, basis, solver=args.solver,
                                       backend=args.backend)
+
+        # NB: through the remote-TPU tunnel, block_until_ready can return
+        # BEFORE pure-XLA loop programs finish executing — a host fetch of
+        # an output is the only reliable completion barrier (CLAUDE.md).
+        def run_to_completion():
+            return float(np.asarray(run(scns).stats.final_cost).sum())
+
         t0 = time.time()
-        jax.block_until_ready(run(scns))
+        run_to_completion()
         compile_s = time.time() - t0
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            jax.block_until_ready(run(scns))
+            run_to_completion()
             times.append(time.time() - t0)
         best = min(times)
         rows.append({

@@ -41,11 +41,18 @@ def measure(cfg, basis, n_devices, per_device, repeats, solver="bls",
     run = sharded.make_shard_map_solver(
         cfg, basis, mesh, solver=solver, engine=engine, backend=backend
     )
-    jax.block_until_ready(run(scns))  # compile + warm-up
+    # Host fetch as the completion barrier: through the remote-TPU tunnel,
+    # block_until_ready can return before pure-XLA loop programs finish
+    # (see CLAUDE.md); the replicated psum stats are tiny to fetch.
+    def run_to_completion():
+        _, stats = run(scns)
+        return float(stats["mean_final_cost"])
+
+    run_to_completion()  # compile + warm-up
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        jax.block_until_ready(run(scns))
+        run_to_completion()
         times.append(time.time() - t0)
     best = min(times)
     return batch / best
