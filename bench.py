@@ -67,6 +67,11 @@ def main():
                    help="basis-GEMM precision (kernel dots follow this)")
     p.add_argument("--block-b", type=int, default=512,
                    help="pallas lane-tile width (batch %% block_b == 0)")
+    p.add_argument("--recip-newton", type=lambda x: str(x).lower() == "true",
+                   default=False,
+                   help="refine the in-kernel approx reciprocal (default "
+                        "False = raw hw approximation, quality-gated; see "
+                        "config.recip_newton)")
     args = p.parse_args()
 
     inner = args.inner if args.inner else {"bls": 15, "gd": 26}[args.solver]
@@ -74,6 +79,7 @@ def main():
         bls_mode="ladder", fixed_iters=True, max_inner_iteration=inner,
         matmul_precision=args.matmul_precision,
         pallas_block_b=args.block_b,
+        recip_newton=args.recip_newton,
     )
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)

@@ -22,12 +22,21 @@ from irm_motion_planning_tpu.solvers import fleet
 
 
 def timeit(fn, *args, repeats=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import numpy as np
+
+    def barrier(out):
+        # Host fetch as the completion barrier: block_until_ready can return
+        # before pure-XLA loop programs finish through the remote-TPU tunnel
+        # (CLAUDE.md).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.sum(leaf))
+        return out
+
+    out = barrier(fn(*args))
     ts = []
     for _ in range(repeats):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        barrier(fn(*args))
         ts.append(time.time() - t0)
     return min(ts), out
 
@@ -49,18 +58,20 @@ def main():
     to_fleet = jax.jit(fleet.to_fleet)
     t_layout, fs = timeit(to_fleet, scns)
 
-    init = jax.jit(lambda f: fleet.fleet_init_alpha(cfg, basis, f))
-    t_init, a0 = timeit(init, fs)
+    # basis passed as a traced argument, not a closure constant (CLAUDE.md:
+    # constant-laden executables pay ~20 ms per dispatch through the tunnel).
+    init = jax.jit(lambda b, f: fleet.fleet_init_alpha(cfg, b, f))
+    t_init, a0 = timeit(init, basis, fs)
 
     solve_from_a0 = jax.jit(
-        lambda f, a: fleet.fleet_solve(
-            cfg, basis, scns, alpha0=fleet.alpha_from_fleet(a),
+        lambda b, f, a: fleet.fleet_solve(
+            cfg, b, scns, alpha0=fleet.alpha_from_fleet(a),
             solver="bls", backend=args.backend,
         )
     )
     # NOTE: alpha_from_fleet then alpha_to_fleet inside — measures the
     # public path minus init.
-    t_solve, _ = timeit(solve_from_a0, fs, a0)
+    t_solve, _ = timeit(solve_from_a0, basis, fs, a0)
 
     full = fleet.make_fleet_solver(cfg, basis, backend=args.backend)
     t_full, _ = timeit(full, scns)

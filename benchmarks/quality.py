@@ -74,6 +74,11 @@ def main():
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--inner", type=int, default=15)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--recip-newton", type=lambda x: str(x).lower() == "true",
+                   default=True,
+                   help="in-kernel reciprocal refinement (the xla backend "
+                        "ignores it — exact divides — so xla,fused with "
+                        "False gates the raw hw approximation)")
     p.add_argument("--tol-conv", type=float, default=0.02,
                    help="max allowed converged-fraction gap vs first backend. "
                         "Convergence = hard-constraint satisfaction at sharp "
@@ -88,6 +93,7 @@ def main():
 
     cfg = mp.PlannerConfig(
         bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner,
+        recip_newton=args.recip_newton,
     )
     basis = mp.make_basis(cfg)
     scns = mp.random_scenarios(cfg, jax.random.PRNGKey(args.seed), args.batch)

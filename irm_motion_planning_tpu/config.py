@@ -98,6 +98,13 @@ class PlannerConfig:
     # Lanes per Pallas kernel tile (batch must be a multiple).  Bigger tiles
     # amortize per-tile scheduling overhead; bounded by VMEM.
     pallas_block_b: int = 512
+    # Refine the in-kernel approximate reciprocal with one Newton step
+    # (~1.4e-5 relative error; False = raw hardware approximation, ~2^-12).
+    # Both sit below the 5e-3 cross-engine fp noise floor.  Default False:
+    # gated on TPU vs the exact-divide xla backend on 32k random scenes
+    # (benchmarks/quality.py — cost distributions identical to 1e-4, same
+    # converged fraction) and worth +3.3% kernel throughput.
+    recip_newton: bool = False
 
     def __post_init__(self) -> None:
         if self.n_joints != len(self.link_length):

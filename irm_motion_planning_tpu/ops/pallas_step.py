@@ -115,12 +115,15 @@ class _Body:
         return ee_x, ee_y, px, py
 
     def recip(self, x):
-        """Fast reciprocal: hardware approximate + one Newton step
-        (~1.4e-5 relative error — far below the 5e-3 cross-engine fp noise
-        floor, see CLAUDE.md).  The obstacle field pays O divides per element
-        per cost evaluation; this is the kernel's hottest scalar op."""
+        """Fast reciprocal: hardware approximate, optionally refined by one
+        Newton step (~1.4e-5 relative error — far below the 5e-3
+        cross-engine fp noise floor, see CLAUDE.md).  The obstacle field
+        pays O divides per element per cost evaluation; this is the kernel's
+        hottest scalar op."""
         r = pl.reciprocal(x, approx=True)
-        return r * (2.0 - x * r)
+        if self.cfg.recip_newton:
+            r = r * (2.0 - x * r)
+        return r
 
     def obstacle_cost_v(self, ee_x, ee_y, ox, oy, ow):
         """Obstacle repulsion field (ref: environment.py:32-43), dot-product

@@ -12,8 +12,13 @@ from irm_motion_planning_tpu.solvers import fleet
 
 @pytest.fixture(scope="module")
 def setup():
+    # recip_newton=True: per-lane comparisons against the XLA backend's
+    # exact divides need the refined reciprocal — the raw approximation's
+    # ~2.4e-4 error is commensurate with the 1e-3 stop threshold, so step
+    # counters flip lane-by-lane.  The raw-approximation default is gated
+    # distributionally (benchmarks/quality.py on TPU).
     cfg = mp.PlannerConfig(max_inner_iteration=6, max_outer_iteration=2,
-                           fixed_iters=True)
+                           fixed_iters=True, recip_newton=True)
     basis = mp.make_basis(cfg)
     scns = mp.random_scenarios(cfg, jax.random.PRNGKey(9), 128)
     return cfg, basis, scns

@@ -44,7 +44,11 @@ def _xla_reference_step(cfg, basis, fs, pen, alpha, grad, traj, vel, loss, bls_l
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = mp.PlannerConfig()
+    # recip_newton=True: these are LANE-FOR-LANE equivalence tests against
+    # the XLA fleet's exact divides, so the kernel's reciprocal must be at
+    # refined (1.4e-5) accuracy.  The raw-approximation default is gated
+    # distributionally instead (benchmarks/quality.py on TPU).
+    cfg = mp.PlannerConfig(recip_newton=True)
     basis = mp.make_basis(cfg)
     B = 128
     key = jax.random.PRNGKey(3)
