@@ -47,7 +47,7 @@ REF_SOLVE_SECONDS = {"bls": 3.12e-3, "gd": 7.26e-3}
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=131072,
+    p.add_argument("--batch", type=int, default=262144,
                    help="scenario lanes; throughput rises with batch "
                         "(fixed overheads amortize; VPU fills)")
     p.add_argument("--repeats", type=int, default=5)
