@@ -71,6 +71,17 @@ class _Body:
         self.link = [float(l) for l in cfg.link_length]
         self.mean_jp = 0.5 * (cfg.max_joint_position + cfg.min_joint_position)
         self.std_jp = 0.5 * (cfg.max_joint_position - self.mean_jp)
+        # VPU f32 divides are multi-op sequences; every by-constant division
+        # in the hot loops is strength-reduced to a multiply by these
+        # Python-float reciprocals (1-ulp fp change, far below the 5e-3
+        # cross-engine noise floor — quality-gate validated).
+        self.inv_std_jp = 1.0 / self.std_jp
+        self.inv_vmax = 1.0 / cfg.max_joint_velocity
+        self.inv_T = 1.0 / T
+        self.inv_std2_T = 1.0 / (self.std_jp * self.std_jp * T)
+        self.inv_vmax2_T = 1.0 / (
+            cfg.max_joint_velocity * cfg.max_joint_velocity * T
+        )
         # In-kernel dot precision follows the engine-wide matmul precision
         # knob.  'highest' (6-pass f32) is the validated default: the RKHS
         # coefficients are O(1e4) with O(1) cancellation (see CLAUDE.md);
@@ -156,9 +167,9 @@ class _Body:
             vs = vel[j][0:1]
             vg = vel[j][T - 1:T]
             sgvc = sgvc + 0.5 * (vs * vs + vg * vg)
-            zp = (traj[j] - self.mean_jp) / self.std_jp
+            zp = (traj[j] - self.mean_jp) * self.inv_std_jp
             pl_ = 0.5 * zp * zp
-            zv = vel[j] / cfg.max_joint_velocity
+            zv = vel[j] * self.inv_vmax
             vl_ = 0.5 * zv * zv
             if cfg.constraint_violating_dependant_loss:
                 pmask = jnp.logical_or(
@@ -170,8 +181,8 @@ class _Body:
                 )
                 pl_ = jnp.where(pmask, pl_, 0.0)
                 vl_ = jnp.where(vmask, vl_, 0.0)
-            jpc = jpc + jnp.sum(pl_, axis=0, keepdims=True) / T
-            jvc = jvc + jnp.sum(vl_, axis=0, keepdims=True) / T
+            jpc = jpc + jnp.sum(pl_, axis=0, keepdims=True) * self.inv_T
+            jvc = jvc + jnp.sum(vl_, axis=0, keepdims=True) * self.inv_T
         return toc + lam_sg * (sgpc + sgvc) + lam_jl * (jpc + jvc)
 
     def cost_grad_eval(self, kv, kvt, mix, alpha, start, goal,
@@ -195,20 +206,29 @@ class _Body:
         lam_max = cfg.lambda_max_cost
         ee_x, ee_y, px, py = self.fk_ee(nt)
 
+        # Dot-product form (same algebra as obstacle_cost_v) with FACTORED
+        # gradient accumulators: grad = sum_o c_o (ee - o) with
+        # c_o = -0.8 w_o / s_o^2, so accumulate csum = sum c_o and
+        # co{x,y} = sum c_o o instead of per-obstacle (ee - o) products —
+        # one fewer plane op per obstacle component than the naive form.
+        h = 0.5 * (ee_x * ee_x + ee_y * ee_y)
+        q = 0.5 + 0.5 * (ox * ox + oy * oy)   # (O, BT)
         cost_v = jnp.zeros((T, BT), jnp.float32)
-        gx = jnp.zeros((T, BT), jnp.float32)
-        gy = jnp.zeros((T, BT), jnp.float32)
+        csum = jnp.zeros((T, BT), jnp.float32)
+        cox = jnp.zeros((T, BT), jnp.float32)
+        coy = jnp.zeros((T, BT), jnp.float32)
         ow8 = 0.8 * ow
         for o in range(O):
-            dx = ee_x - ox[o:o + 1]
-            dy = ee_y - oy[o:o + 1]
-            d2 = dx * dx + dy * dy
-            inv = self.recip(0.5 + 0.5 * d2)
+            s = (h + q[o:o + 1]) - (ox[o:o + 1] * ee_x + oy[o:o + 1] * ee_y)
+            inv = self.recip(s)
             winv = ow8[o:o + 1] * inv
             cost_v = cost_v + winv
-            coef = -(winv * inv)
-            gx = gx + coef * dx
-            gy = gy + coef * dy
+            coef = winv * inv
+            csum = csum + coef
+            cox = cox + coef * ox[o:o + 1]
+            coy = coy + coef * oy[o:o + 1]
+        gx = cox - ee_x * csum
+        gy = coy - ee_y * csum
 
         cmax = jnp.max(cost_v, axis=0, keepdims=True)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, BT), 0)
@@ -251,8 +271,10 @@ class _Body:
                 nt[j] - goal[j:j + 1]
             )
             sgv = (first_row + last_row) * nv[j]
-            jp = (nt[j] - self.mean_jp) / (self.std_jp * self.std_jp)
-            jv = nv[j] / (cfg.max_joint_velocity**2)
+            # 1/T from the mean over support points is folded into the
+            # constant reciprocals (saves the jp/T, jv/T plane divides).
+            jp = (nt[j] - self.mean_jp) * self.inv_std2_T
+            jv = nv[j] * self.inv_vmax2_T
             if cfg.constraint_violating_dependant_loss:
                 pmask = jnp.logical_or(
                     nt[j] > cfg.joint_safety_limit * cfg.max_joint_position,
@@ -263,8 +285,8 @@ class _Body:
                 )
                 jp = jnp.where(pmask, jp, 0.0)
                 jv = jnp.where(vmask, jv, 0.0)
-            grad_pos.append(toc_g + lam_sg * sgp + lam_jl * (jp / T))
-            grad_vel.append(lam_sg * sgv + lam_jl * (jv / T))
+            grad_pos.append(toc_g + lam_sg * sgp + lam_jl * jp)
+            grad_vel.append(lam_sg * sgv + lam_jl * jv)
 
         grad = []
         pulled = [
@@ -309,6 +331,12 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     # evaluate the search direction once (evaluation is linear in alpha)
     gtraj, gvel = body.forward_planes(kv, mix, n_grad)
 
+    # (1 - reg*lr)*x - lr*g == x - lr*(reg*x + g): hoist the combined
+    # direction so each ladder rung pays one mul+sub per plane, not two
+    # muls+sub.
+    dir_t = [cfg.lambda_reg * traj[j] + gtraj[j] for j in range(J)]
+    dir_v = [cfg.lambda_reg * vel[j] + gvel[j] for j in range(J)]
+
     # Ladder as an early-exiting loop: rungs are tried in the same order as
     # the sequential reference; the loop ends as soon as every live lane in
     # the tile has its first Armijo pass.
@@ -320,9 +348,8 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     def ladder_body(c):
         r, rung, found, lr_best, loss_best = c
         lr_r = bls_lr * rung
-        a_fac = 1.0 - cfg.lambda_reg * lr_r
-        cand_t = [a_fac * traj[j] - lr_r * gtraj[j] for j in range(J)]
-        cand_v = [a_fac * vel[j] - lr_r * gvel[j] for j in range(J)]
+        cand_t = [traj[j] - lr_r * dir_t[j] for j in range(J)]
+        cand_v = [vel[j] - lr_r * dir_v[j] for j in range(J)]
         ee_x, ee_y, _, _ = body.fk_ee(cand_t)
         cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
         closs = body.scalar_cost(
@@ -367,8 +394,8 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     # alpha update (exact in real arithmetic; re-synced by the fresh forward
     # evaluation at the start of every penalty round).  Skips the J forward
     # basis GEMMs of a full cost_grad_eval per inner step.
-    nt = [a_fac * traj[j] - lr_eff * gtraj[j] for j in range(J)]
-    nv = [a_fac * vel[j] - lr_eff * gvel[j] for j in range(J)]
+    nt = [traj[j] - lr_eff * dir_t[j] for j in range(J)]
+    nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
     nloss, ngrad = body.cost_grad_from_traj(
         kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
     )

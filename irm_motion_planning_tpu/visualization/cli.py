@@ -29,8 +29,16 @@ def main(argv=None) -> int:
     p.add_argument("--input", default="trajectory_result.txt")
     p.add_argument("--series-input", default="trajectory_series.txt")
     p.add_argument("--out", default=None)
-    p.add_argument("--vis-gradient", type=lambda x: str(x).lower() == "true",
-                   default=False)
+    # full reference toggle set (ref: env_vis.py:45-52)
+    _bool = lambda x: str(x).lower() == "true"  # noqa: E731
+    p.add_argument("--vis-gradient", type=_bool, default=False)
+    p.add_argument("--vis-legend", type=_bool, default=True)
+    p.add_argument("--vis-sgb", type=_bool, default=True)
+    p.add_argument("--vis-sg-robot", type=_bool, default=True)
+    p.add_argument("--vis-obstacles", type=_bool, default=False)
+    p.add_argument("--vis-straight-line", type=_bool, default=True)
+    p.add_argument("--vis-final-ee", type=_bool, default=True)
+    p.add_argument("--vis-final-robot", type=_bool, default=False)
     args = p.parse_args(argv)
 
     from ..ops.scenario import reference_scenario
@@ -45,7 +53,16 @@ def main(argv=None) -> int:
             traj = np.loadtxt(args.input)
         except OSError:
             traj = None
-        print(plots.plot_environment(cfg, scn, out, args.vis_gradient, traj))
+        print(plots.plot_environment(
+            cfg, scn, out, args.vis_gradient, traj,
+            show_legend=args.vis_legend,
+            show_sgb=args.vis_sgb,
+            show_sg_robot=args.vis_sg_robot,
+            show_obstacles=args.vis_obstacles,
+            show_straight_line=args.vis_straight_line,
+            show_final_ee=args.vis_final_ee,
+            show_final_robot=args.vis_final_robot,
+        ))
         return 0
 
     if args.mode == "result":

@@ -64,14 +64,16 @@ def cost_gradient_grid(
     return xs, ys, g
 
 
-def draw_cost_contour(ax, scn: Scenario, extent: float = 4.0, resolution: int = 81):
+def draw_cost_contour(ax, scn: Scenario, extent: float = 4.0,
+                      resolution: int = 81, show_obstacles: bool = True):
     xs, ys, c = cost_grid(scn, extent, resolution)
     cf = ax.contourf(xs, ys, c, levels=20, cmap="viridis")
-    ax.scatter(
-        np.asarray(scn.obstacles[:, 0])[np.asarray(scn.obstacle_weight) > 0],
-        np.asarray(scn.obstacles[:, 1])[np.asarray(scn.obstacle_weight) > 0],
-        c="red", marker="x", s=30, label="obstacles",
-    )
+    if show_obstacles:
+        ax.scatter(
+            np.asarray(scn.obstacles[:, 0])[np.asarray(scn.obstacle_weight) > 0],
+            np.asarray(scn.obstacles[:, 1])[np.asarray(scn.obstacle_weight) > 0],
+            c="red", marker="x", s=30, label="obstacles",
+        )
     return cf
 
 
@@ -89,24 +91,52 @@ def plot_environment(
     out_path: str = "environment.png",
     show_gradient: bool = False,
     trajectory: Optional[np.ndarray] = None,
+    show_legend: bool = True,
+    show_sgb: bool = True,
+    show_sg_robot: bool = True,
+    show_obstacles: bool = False,
+    show_straight_line: bool = True,
+    show_final_ee: bool = True,
+    show_final_robot: bool = False,
 ):
     """Environment overview (capability C10, ref: visualization/env_vis.py):
-    cost contour, optional gradient quiver, start/goal arm poses, optional
-    final trajectory overlay."""
+    cost contour with the reference's full toggle set
+    (ref: env_vis.py:45-52 — legend / start-goal markers / start-goal arm
+    poses / obstacle scatter / straight line / gradient quiver / final EE
+    path / final arm poses)."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(8, 8))
-    draw_cost_contour(ax, scn)
+    draw_cost_contour(ax, scn, show_obstacles=show_obstacles)
     if show_gradient:
         xs, ys, g = cost_gradient_grid(scn)
         gx, gy = np.meshgrid(xs, ys)
         ax.quiver(gx, gy, g[0], g[1], color="white", alpha=0.6)
-    draw_arm(ax, cfg, np.asarray(scn.start), color="lime", label="start pose")
-    draw_arm(ax, cfg, np.asarray(scn.goal), color="orange", label="goal pose")
+    start_ee = np.asarray(robot.fk(cfg, jnp.asarray(scn.start)[None, :]))[:, 0]
+    goal_ee = np.asarray(robot.fk(cfg, jnp.asarray(scn.goal)[None, :]))[:, 0]
+    if show_sgb:
+        ax.scatter(*start_ee, c="lime", s=60, zorder=5, label="start")
+        ax.scatter(*goal_ee, c="orange", s=60, zorder=5, label="goal")
+    if show_straight_line:
+        ax.plot([start_ee[0], goal_ee[0]], [start_ee[1], goal_ee[1]],
+                "w--", lw=1, label="straight line")
+    if show_sg_robot:
+        draw_arm(ax, cfg, np.asarray(scn.start), color="lime",
+                 label="start pose")
+        draw_arm(ax, cfg, np.asarray(scn.goal), color="orange",
+                 label="goal pose")
     if trajectory is not None:
-        ee = np.asarray(robot.fk(cfg, jnp.asarray(trajectory)))
-        ax.plot(ee[0], ee[1], "w-", lw=2, label="EE path")
+        traj = jnp.asarray(trajectory)
+        if show_final_ee:
+            ee = np.asarray(robot.fk(cfg, traj))
+            ax.plot(ee[0], ee[1], "w-", lw=2, label="EE path")
+        if show_final_robot:
+            T = traj.shape[0]
+            for t in range(0, T, max(1, T // 12)):
+                draw_arm(ax, cfg, np.asarray(traj[t]),
+                         alpha=0.15 + 0.85 * t / T, color="tab:cyan")
     ax.set_aspect("equal")
-    ax.legend(loc="upper left")
+    if show_legend:
+        ax.legend(loc="upper left")
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return out_path
