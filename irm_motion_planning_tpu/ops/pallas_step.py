@@ -75,8 +75,10 @@ class _Body:
         # in the hot loops is strength-reduced to a multiply by these
         # Python-float reciprocals (1-ulp fp change, far below the 5e-3
         # cross-engine noise floor — quality-gate validated).
-        self.inv_std_jp = 1.0 / self.std_jp
-        self.inv_vmax = 1.0 / cfg.max_joint_velocity
+        # sqrt(0.5) folded in: the limit losses are 0.5*z^2, computed as
+        # (x*c)^2 with c = sqrt(0.5)/scale — one plane mul instead of two.
+        self.inv_std_jp_h = 0.5**0.5 / self.std_jp
+        self.inv_vmax_h = 0.5**0.5 / cfg.max_joint_velocity
         self.inv_T = 1.0 / T
         self.inv_std2_T = 1.0 / (self.std_jp * self.std_jp * T)
         self.inv_vmax2_T = 1.0 / (
@@ -167,10 +169,10 @@ class _Body:
             vs = vel[j][0:1]
             vg = vel[j][T - 1:T]
             sgvc = sgvc + 0.5 * (vs * vs + vg * vg)
-            zp = (traj[j] - self.mean_jp) * self.inv_std_jp
-            pl_ = 0.5 * zp * zp
-            zv = vel[j] * self.inv_vmax
-            vl_ = 0.5 * zv * zv
+            zp = (traj[j] - self.mean_jp) * self.inv_std_jp_h
+            pl_ = zp * zp
+            zv = vel[j] * self.inv_vmax_h
+            vl_ = zv * zv
             if cfg.constraint_violating_dependant_loss:
                 pmask = jnp.logical_or(
                     traj[j] > cfg.joint_safety_limit * cfg.max_joint_position,

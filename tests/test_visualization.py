@@ -46,6 +46,38 @@ def test_plot_environment_with_gradient(tmp_path, setup):
     assert os.path.getsize(out) > 10_000
 
 
+def test_plot_environment_toggle_matrix(tmp_path, setup):
+    """The reference's full env_vis toggle set (ref: env_vis.py:45-52) is
+    honored: each toggle flips on/off without error and changes the figure."""
+    cfg, scn, traj = setup
+    base = plots.plot_environment(
+        cfg, scn, str(tmp_path / "base.png"), trajectory=traj
+    )
+    alt = plots.plot_environment(
+        cfg, scn, str(tmp_path / "alt.png"), trajectory=traj,
+        show_legend=False, show_sgb=False, show_sg_robot=False,
+        show_obstacles=True, show_straight_line=False,
+        show_final_ee=False, show_final_robot=True,
+    )
+    assert os.path.getsize(base) > 10_000 and os.path.getsize(alt) > 10_000
+    assert open(base, "rb").read() != open(alt, "rb").read()
+
+
+def test_vis_cli_env_mode(tmp_path, setup):
+    from irm_motion_planning_tpu.visualization import cli as vis_cli
+
+    cfg, scn, traj = setup
+    inp = tmp_path / "traj.txt"
+    np.savetxt(inp, traj)
+    out = tmp_path / "env.png"
+    rc = vis_cli.main([
+        "--mode", "env", "--input", str(inp), "--out", str(out),
+        "--vis-obstacles", "true", "--vis-final-robot", "true",
+        "--vis-legend", "false",
+    ])
+    assert rc == 0 and os.path.getsize(out) > 10_000
+
+
 def test_animations(tmp_path, setup):
     cfg, scn, traj = setup
     short = traj[::10]
