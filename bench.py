@@ -1,23 +1,30 @@
-"""Headline benchmark: RKHS trajectory solves/s/chip.
+"""Headline benchmark: RKHS trajectory solves/s/chip, WITH a quality gate.
 
 Protocol (timing methodology mirrors the reference, ref: main.py:117-129 —
 JIT warm-up excluded, block_until_ready, repeated measurements):
 
 * the reference scene replicated into a batch, flagship BLS solver, at a
-  FIXED iteration horizon: 10 penalty rounds x 15 line-search steps = 150
-  optimizer steps per solve — matching the ~145 steps the reference's
-  early-exit solve performs to reach its flagship 3.12 ms
-  (DevBlog blog-post.html:364,389).  A fixed horizon makes the metric
-  deterministic: the early-stop threshold (1e-3) sits below f32 noise, so
-  early-exit step counts vary by fp path and would make throughput numbers
-  compare luck rather than speed,
-* quality is reported next to speed (mean final cost + converged fraction);
-  at this horizon the solver SATISFIES the hard constraints on the
-  reference scene (the reference's own run terminates violated),
+  FIXED per-round iteration schedule (config.REFERENCE_INNER_SCHEDULE_BLS):
+  the measured per-penalty-round step counts of the reference's early-exit
+  solve (31/3/1/21/48/10/3/1/1/1 = 120 steps on the reference scene,
+  ref: optimizer_BLS.py:154-179) with ~25% headroom per round.  A fixed
+  schedule keeps the horizon deterministic AND spends steps where the
+  reference's own early-exit run spends them — a uniform fixed budget
+  (e.g. 10x15) truncates the heavy rounds and lands at visibly worse
+  solutions (avg cost 1.72 vs 1.64; that was round 1's headline bug),
+* QUALITY IS GATED, not just reported: the run fails (exit 1, "quality_ok":
+  false) unless the solved reference scene lands within --quality-tol
+  (default 2%) of the reference's final avg/max obstacle cost
+  (1.6370/2.1964, ref: main.py:141-143) AND satisfies the hard constraints
+  (endpoint error < eps_position = 0.01 — which the reference's own
+  flagship run does NOT: it terminates with 0.046).  The residual ~0.7%
+  avg-cost gap is the fleet engine's fp path (linearized ladder,
+  batch-trailing GEMMs); the sequential parity engine reproduces the
+  reference bitwise (tests/test_parity.py),
 * baseline: the reference's published flagship number — 3.12 ms per solve
   on CPU (DevBlog blog-post.html:389) = 320.5 solves/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", quality...}.
 """
 
 import argparse
@@ -43,6 +50,13 @@ from irm_motion_planning_tpu.solvers import batched
 # Per-solver reference flagships (DevBlog blog-post.html:389-390): the
 # full-JIT-loop CPU solve times.  vs_baseline compares like with like.
 REF_SOLVE_SECONDS = {"bls": 3.12e-3, "gd": 7.26e-3}
+# Final avg/max obstacle cost of the reference's flagship runs on the
+# reference scene (ref: main.py:141-143; also pinned in tests/test_parity.py).
+REF_QUALITY = {"bls": (1.6370234, 2.1964114), "gd": (1.6673477, 2.2091691)}
+SCHEDULES = {
+    "bls": mp.REFERENCE_INNER_SCHEDULE_BLS,
+    "gd": mp.REFERENCE_INNER_SCHEDULE_GD,
+}
 
 
 def main():
@@ -59,9 +73,9 @@ def main():
                    help="fleet backend: fused = whole-solve VMEM-resident "
                         "kernel, pallas = per-step kernel, xla = portable")
     p.add_argument("--inner", type=int, default=None,
-                   help="fixed inner steps per penalty round (10 rounds); "
-                        "default 15 for bls (~the reference's 145 converged "
-                        "steps), 26 for gd (~its 259, blog-post.html:364)")
+                   help="UNIFORM fixed inner steps per penalty round; "
+                        "overrides the default per-round schedule (see "
+                        "config.REFERENCE_INNER_SCHEDULE_*)")
     p.add_argument("--matmul-precision",
                    choices=["default", "high", "highest"], default="highest",
                    help="basis-GEMM precision (kernel dots follow this)")
@@ -72,14 +86,22 @@ def main():
                    help="refine the in-kernel approx reciprocal (default "
                         "False = raw hw approximation, quality-gated; see "
                         "config.recip_newton)")
+    p.add_argument("--quality-tol", type=float, default=0.02,
+                   help="gate: allowed relative avg/max-cost excess over the "
+                        "reference's final costs at this exact config")
     args = p.parse_args()
 
-    inner = args.inner if args.inner else {"bls": 15, "gd": 26}[args.solver]
+    if args.inner is not None:
+        sched_kw = dict(max_inner_iteration=args.inner)
+    else:
+        sched = SCHEDULES[args.solver]
+        sched_kw = dict(inner_schedule=sched, max_inner_iteration=max(sched))
     cfg = mp.PlannerConfig(
-        bls_mode="ladder", fixed_iters=True, max_inner_iteration=inner,
+        bls_mode="ladder", fixed_iters=True,
         matmul_precision=args.matmul_precision,
         pallas_block_b=args.block_b,
         recip_newton=args.recip_newton,
+        **sched_kw,
     )
     basis = mp.make_basis(cfg)
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
@@ -108,7 +130,8 @@ def main():
     compile_s = time.time() - t0
     # Quality of lane 0 (all lanes identical): unpenalized obstacle costs +
     # endpoint error, comparable to the reference's final report
-    # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.034).
+    # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.046 —
+    # i.e. the reference's own flagship run terminates constraint-VIOLATED).
     scn0 = mp.reference_scenario(cfg)
     alpha0 = warm.alpha[0]
     pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
@@ -117,6 +140,19 @@ def main():
     max_cost = float(mp.total_cost(
         cfg.replace(lambda_max_cost=1.0), basis, scn0, pen0, alpha0))
     rep = mp.constraint_report(cfg, basis, scn0, alpha0)
+    endpoint_err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
+    ref_avg, ref_max = REF_QUALITY[args.solver]
+    # BLS (the headline) must SATISFY the hard constraints.  GD — in the
+    # reference too — terminates constraint-violated (golden endpoint err
+    # 0.042; ours measures 0.06-0.08 depending on fp path, because at the
+    # late rounds' 1e-7..1e-8 learning rates the endpoint sits on a slow
+    # manifold), so its gate is cost parity plus a loose endpoint backstop.
+    endpoint_bound = cfg.eps_position if args.solver == "bls" else 0.1
+    quality_ok = (
+        avg_cost <= ref_avg * (1.0 + args.quality_tol)
+        and max_cost <= ref_max * (1.0 + args.quality_tol)
+        and endpoint_err < endpoint_bound
+    )
 
     times = []
     for _ in range(args.repeats):
@@ -132,18 +168,27 @@ def main():
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline, 2),
+        "quality_ok": quality_ok,
+        "avg_cost": round(avg_cost, 4),
+        "max_cost": round(max_cost, 4),
+        "ref_avg_cost": round(ref_avg, 4),
+        "ref_max_cost": round(ref_max, 4),
+        "endpoint_err": round(endpoint_err, 4),
     }
     print(json.dumps(result))
     print(
         f"# batch={args.batch} best={best*1000:.1f}ms "
         f"mean={1000*sum(times)/len(times):.1f}ms compile+first={compile_s:.1f}s "
         f"per-solve={1e6*best/args.batch:.1f}us "
-        f"quality: avg_cost={avg_cost:.4f} max_cost={max_cost:.4f} "
-        f"endpoint_err={max(float(rep['start_pos_err']), float(rep['goal_pos_err'])):.4f} "
-        f"(ref: 1.6370/2.1964, err 0.046)",
+        f"quality[{'PASS' if quality_ok else 'FAIL'}]: "
+        f"avg_cost={avg_cost:.4f} max_cost={max_cost:.4f} "
+        f"endpoint_err={endpoint_err:.4f} "
+        f"(ref: {ref_avg:.4f}/{ref_max:.4f}, err 0.046 — ref violates "
+        f"eps_position; this run must satisfy it)",
         file=sys.stderr,
     )
+    return 0 if quality_ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -7,7 +7,11 @@ functional-gradient optimization — batched over thousands of scenarios per
 chip and sharded over TPU pod slices.
 """
 
-from .config import PlannerConfig
+from .config import (
+    PlannerConfig,
+    REFERENCE_INNER_SCHEDULE_BLS,
+    REFERENCE_INNER_SCHEDULE_GD,
+)
 from .models.rkhs import Basis, make_basis, evaluate, evaluate_at, init_alpha
 from .ops.scenario import (
     Scenario,

@@ -694,6 +694,15 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     inc = float(cfg.lambda_constraint_increase)
     step_fn = {"bls": _bls_step, "gd": _gd_step}[solver]
     sched = [float(x) for x in cfg.gd_lr]
+    # Per-round inner-step budget (see config.inner_schedule): the round
+    # index is a traced fori counter, so the budget is selected by an
+    # unrolled where-ladder (Mosaic-safe; no dynamic gather) and used as a
+    # traced fori bound — the loop lowers to a while_loop, program stays
+    # rolled.
+    inner_sched = (
+        [int(x) for x in cfg.inner_schedule]
+        if cfg.inner_schedule is not None else None
+    )
 
     def constraints_ok(traj, vel, start, goal):
         """Per-lane hard-constraint check on plane tuples -> (1, BT) f32
@@ -792,7 +801,13 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                 tuple(alpha), tuple(grad), tuple(traj), tuple(vel),
                 loss, lr0, minimized, icnt,
             )
-            s = jax.lax.fori_loop(0, inner_n, istep, s0)
+            if inner_sched is not None:
+                n_r = jnp.asarray(0, jnp.int32)
+                for l in range(len(inner_sched)):
+                    n_r = n_r + jnp.where(r == l, inner_sched[l], 0)
+            else:
+                n_r = inner_n
+            s = jax.lax.fori_loop(0, n_r, istep, s0)
             alpha, _, traj, vel, loss, _, _, icnt = s
 
             ok = constraints_ok(traj, vel, start, goal)

@@ -42,7 +42,9 @@ from ..config import PlannerConfig
 from ..models.rkhs import Basis, init_alpha
 from ..ops.costs import Penalty, cost_and_grad, total_cost
 from ..ops.scenario import Scenario
-from .common import InnerFn, SolveResult, freeze_when, run_dual_loop
+from .common import (
+    InnerFn, SolveResult, freeze_when, inner_loop_bound, run_dual_loop,
+)
 
 
 def _trial(cfg: PlannerConfig, alpha, n_grad, lr):
@@ -144,8 +146,9 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
     tol = jnp.float32(cfg.loop_loss_reduction)
     search = _ladder_search if cfg.bls_mode == "ladder" else _sequential_search
 
-    def for_outer(outer_iter: jnp.ndarray) -> InnerFn:
-        del outer_iter  # BLS re-derives its step size; no schedule.
+    def for_outer(outer_iter: jnp.ndarray, round_idx=None) -> InnerFn:
+        del outer_iter  # BLS re-derives its step size; no lr schedule.
+        bound = inner_loop_bound(cfg, round_idx)
 
         def inner(alpha: jnp.ndarray, penalty: Penalty):
             loss0, grad0 = cost_and_grad(cfg, basis, scn, penalty, alpha)
@@ -190,7 +193,7 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
 
             if cfg.fixed_iters:
                 final = jax.lax.fori_loop(
-                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                    0, bound, lambda _, s: body(s), init
                 )
             else:
                 final = jax.lax.while_loop(

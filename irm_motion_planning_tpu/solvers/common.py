@@ -66,6 +66,20 @@ class SolveResult(NamedTuple):
 InnerFn = Callable[[jnp.ndarray, Penalty], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
 
+def inner_loop_bound(cfg: PlannerConfig, round_idx):
+    """Inner-step budget for one penalty round.
+
+    With ``cfg.inner_schedule`` set (fixed_iters mode) and a traced round
+    index, returns the schedule entry for that round as a traced i32 — used
+    as a ``fori_loop`` bound (lowers to a while_loop; the program stays
+    rolled, only the trip count varies per round).  Otherwise returns the
+    static ``max_inner_iteration`` cap."""
+    if round_idx is None or cfg.inner_schedule is None:
+        return cfg.max_inner_iteration
+    sched = jnp.asarray(cfg.inner_schedule, jnp.int32)
+    return sched[jnp.clip(round_idx, 0, len(cfg.inner_schedule) - 1)]
+
+
 class _OuterState(NamedTuple):
     fulfilled: jnp.ndarray
     outer_iter: jnp.ndarray
@@ -97,8 +111,8 @@ def run_dual_loop(
     if constraints_fn is None:
         constraints_fn = lambda a: constraints_fulfilled(cfg, basis, scn, a)
 
-    def _raw_outer_body(state: _OuterState) -> _OuterState:
-        alpha, iters, loss = inner_fn_for_outer(state.outer_iter)(
+    def _raw_outer_body(state: _OuterState, round_idx=None) -> _OuterState:
+        alpha, iters, loss = inner_fn_for_outer(state.outer_iter, round_idx)(
             state.alpha, state.penalty
         )
         fulfilled = constraints_fn(alpha)
@@ -117,10 +131,12 @@ def run_dual_loop(
             final_loss=loss,
         )
 
-    def outer_body(state: _OuterState) -> _OuterState:
+    def outer_body(state: _OuterState, round_idx=None) -> _OuterState:
         # Freeze fulfilled lanes (no-op body) so vmapped lockstep execution
         # preserves per-lane sequential semantics.
-        return freeze_when(state.fulfilled, state, _raw_outer_body(state))
+        return freeze_when(
+            state.fulfilled, state, _raw_outer_body(state, round_idx)
+        )
 
     if penalty0 is None:
         penalty0 = Penalty(
@@ -141,7 +157,7 @@ def run_dual_loop(
         # Fixed horizon: always run max_outer_iteration rounds; fulfilled
         # lanes are frozen by the mask inside outer_body.
         final = jax.lax.fori_loop(
-            0, cfg.max_outer_iteration, lambda _, s: outer_body(s), init
+            0, cfg.max_outer_iteration, lambda r, s: outer_body(s, r), init
         )
     else:
         final = jax.lax.while_loop(

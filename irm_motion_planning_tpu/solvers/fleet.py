@@ -39,7 +39,9 @@ from ..models import robot
 from ..models.rkhs import Basis, _precision
 from ..ops.costs import Penalty
 from ..ops.scenario import Scenario
-from .common import SolveResult, SolveStats, freeze_when, run_dual_loop
+from .common import (
+    SolveResult, SolveStats, freeze_when, inner_loop_bound, run_dual_loop,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -329,8 +331,9 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
         jnp.float32(cfg.bls_beta_minus), jnp.arange(n, dtype=jnp.float32)
     )  # (n,)
 
-    def for_outer(outer_iter):
+    def for_outer(outer_iter, round_idx=None):
         del outer_iter
+        bound = inner_loop_bound(cfg, round_idx)
 
         def inner(alpha, penalty: Penalty):
             loss0, grad0, traj0, vel0 = fleet_cost_grad_eval(
@@ -405,7 +408,7 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
             )
             if cfg.fixed_iters:
                 final = jax.lax.fori_loop(
-                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                    0, bound, lambda _, s: body(s), init
                 )
             else:
                 final = jax.lax.while_loop(
@@ -506,9 +509,12 @@ def _pallas_solve(
     }[solver]
     gd_schedule = jnp.asarray(cfg.gd_lr, dtype=jnp.float32)
 
-    def inner_round(alpha, lam_sg, lam_jl, skip, outer_iter):
+    def inner_round(alpha, lam_sg, lam_jl, skip, outer_iter, round_idx=None):
         """One penalty round.  ``skip`` lanes (already fulfilled) are frozen
         from step 0.  Returns (alpha, traj, vel, iters, loss)."""
+        from .common import inner_loop_bound
+
+        bound = inner_loop_bound(cfg, round_idx)
         ev = pallas_step.cost_grad_eval(
             cfg, basis.kv, kvt, basis.mix, alpha,
             lam_sg[None], lam_jl[None], scn.start, scn.goal, ox, oy, ow,
@@ -547,7 +553,7 @@ def _pallas_solve(
 
         if cfg.fixed_iters:
             final = jax.lax.fori_loop(
-                0, cfg.max_inner_iteration, lambda _, s: body(s), state0
+                0, bound, lambda _, s: body(s), state0
             )
         else:
             final = jax.lax.while_loop(
@@ -562,10 +568,10 @@ def _pallas_solve(
 
     inc = jnp.float32(cfg.lambda_constraint_increase)
 
-    def outer_body(state: _PallasOuter) -> _PallasOuter:
+    def outer_body(state: _PallasOuter, round_idx=None) -> _PallasOuter:
         alpha, traj, vel, iters, loss = inner_round(
             state.alpha, state.lam_sg, state.lam_jl, state.fulfilled,
-            state.outer_iter,
+            state.outer_iter, round_idx,
         )
         ok = _planes_constraints(cfg, scn, traj, vel)
         was = state.fulfilled
@@ -592,7 +598,7 @@ def _pallas_solve(
 
     if cfg.fixed_iters:
         final = jax.lax.fori_loop(
-            0, cfg.max_outer_iteration, lambda _, s: outer_body(s), init
+            0, cfg.max_outer_iteration, lambda r, s: outer_body(s, r), init
         )
     else:
         final = jax.lax.while_loop(
@@ -628,10 +634,11 @@ def _make_gd_inner(cfg: PlannerConfig, basis, scn: Scenario):
     lr_schedule = jnp.asarray(cfg.gd_lr, dtype=jnp.float32)
     tol = jnp.float32(cfg.loop_loss_reduction)
 
-    def for_outer(outer_iter):
+    def for_outer(outer_iter, round_idx=None):
         # outer_iter is (B,) — per-lane learning rate (lanes can sit at
         # different penalty rounds, ref: optimizer_GD.py:209).
         lr = lr_schedule[jnp.clip(outer_iter, 0, len(cfg.gd_lr) - 1)]  # (B,)
+        bound = inner_loop_bound(cfg, round_idx)
 
         def inner(alpha, penalty: Penalty):
             loss0, grad0 = fleet_cost_and_grad(cfg, basis, scn, penalty, alpha)
@@ -663,7 +670,7 @@ def _make_gd_inner(cfg: PlannerConfig, basis, scn: Scenario):
             )
             if cfg.fixed_iters:
                 final = jax.lax.fori_loop(
-                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                    0, bound, lambda _, s: body(s), init
                 )
             else:
                 final = jax.lax.while_loop(

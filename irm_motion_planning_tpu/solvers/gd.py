@@ -31,7 +31,9 @@ from ..config import PlannerConfig
 from ..models.rkhs import Basis, init_alpha
 from ..ops.costs import Penalty, cost_and_grad
 from ..ops.scenario import Scenario
-from .common import InnerFn, SolveResult, freeze_when, run_dual_loop
+from .common import (
+    InnerFn, SolveResult, freeze_when, inner_loop_bound, run_dual_loop,
+)
 
 
 class _InnerState(NamedTuple):
@@ -48,9 +50,10 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
     lam_reg = jnp.float32(cfg.lambda_reg)
     tol = jnp.float32(cfg.loop_loss_reduction)
 
-    def for_outer(outer_iter: jnp.ndarray) -> InnerFn:
+    def for_outer(outer_iter: jnp.ndarray, round_idx=None) -> InnerFn:
         # Per-outer-iteration learning rate (ref: optimizer_GD.py:209).
         lr = lr_schedule[outer_iter]
+        bound = inner_loop_bound(cfg, round_idx)
 
         def inner(alpha: jnp.ndarray, penalty: Penalty):
             loss0, grad0 = cost_and_grad(cfg, basis, scn, penalty, alpha)
@@ -81,7 +84,7 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
 
             if cfg.fixed_iters:
                 final = jax.lax.fori_loop(
-                    0, cfg.max_inner_iteration, lambda _, s: body(s), init
+                    0, bound, lambda _, s: body(s), init
                 )
             else:
                 final = jax.lax.while_loop(

@@ -80,3 +80,41 @@ def test_fused_quality_vs_xla(setup):
         cf = float(mp.total_cost(cfg, basis, scn_i, pen, r_f.alpha[i]))
         gaps.append(abs(cx - cf) / max(abs(cx), 1e-6))
     assert np.median(gaps) < 5e-2, gaps
+
+
+def test_inner_schedule_parity_across_backends(setup):
+    """A per-round inner schedule (traced fori bound in the kernels) must
+    behave identically in all three fleet backends: the two kernel paths
+    match essentially exactly, and the step accounting matches the XLA
+    backend lane for lane (fp paths agree at these tiny budgets)."""
+    cfg, basis, scns = setup
+    cfg = cfg.replace(inner_schedule=(5, 3), max_inner_iteration=6)
+    r_x = fleet.fleet_solve(cfg, basis, scns, backend="xla")
+    r_s = fleet.fleet_solve(cfg, basis, scns, backend="pallas", interpret=True)
+    r_f = fleet.fleet_solve(cfg, basis, scns, backend="fused", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(r_f.alpha), np.asarray(r_s.alpha), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_f.stats.inner_iters), np.asarray(r_s.stats.inner_iters)
+    )
+    # Budget bound: no lane can exceed the schedule sum (5 + 3), and at
+    # least one lane must be cut by the round-0 budget of 5 (uniform-6
+    # running would allow up to 12).
+    assert int(np.asarray(r_x.stats.inner_iters).max()) <= 8
+    assert int(np.asarray(r_f.stats.inner_iters).max()) <= 8
+
+
+def test_inner_schedule_gd_parity(setup):
+    cfg, basis, scns = setup
+    cfg = cfg.replace(inner_schedule=(5, 3), max_inner_iteration=6)
+    r_s = fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="pallas",
+                            interpret=True)
+    r_f = fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="fused",
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(r_f.alpha), np.asarray(r_s.alpha), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_f.stats.inner_iters), np.asarray(r_s.stats.inner_iters)
+    )

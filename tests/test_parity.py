@@ -84,6 +84,56 @@ def test_fixed_iters_cost_quality():
     assert max_c <= ref_max * 1.001
 
 
+def test_headline_schedule_quality():
+    """The throughput protocol — fixed per-round inner schedule on the fleet
+    engine, the exact config bench.py measures — must reproduce the
+    reference's final costs within the declared 2% tolerance AND satisfy the
+    hard constraints (which the reference's own flagship run does not:
+    it terminates with endpoint error 0.046 > eps_position 0.01).
+
+    Round 1 shipped a uniform 10x15 horizon here, which truncated the heavy
+    penalty rounds (the reference's early-exit solve spends 31/21/48 steps in
+    rounds 0/3/4) and landed at avg 1.72 / max 2.68 — this test pins the fix.
+    bench.py gates the same numbers on the TPU fused backend."""
+    from irm_motion_planning_tpu.solvers import fleet
+
+    sched = mp.REFERENCE_INNER_SCHEDULE_BLS
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True,
+        inner_schedule=sched, max_inner_iteration=max(sched),
+    )
+    basis = mp.make_basis(cfg)
+    scn = mp.reference_scenario(cfg)
+    scns = mp.replicate_scenario(scn, 8)
+    res = jax.jit(
+        lambda b, s: fleet.fleet_solve(cfg, b, s, solver="bls", backend="xla")
+    )(basis, scns)
+    alpha = res.alpha[0]
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha)
+    )
+    max_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha)
+    )
+    rep = mp.constraint_report(cfg, basis, scn, alpha)
+    err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
+    ref_avg, ref_max = REF_COST["bls"]
+    assert avg_c <= ref_avg * 1.02, f"avg {avg_c} vs ref {ref_avg}"
+    assert max_c <= ref_max * 1.02, f"max {max_c} vs ref {ref_max}"
+    assert err < cfg.eps_position, f"endpoint err {err}"
+    assert bool(res.stats.converged[0])
+
+
+def test_inner_schedule_validation():
+    with pytest.raises(ValueError):
+        mp.PlannerConfig(inner_schedule=(5, 3))  # len != max_outer_iteration
+    with pytest.raises(ValueError):
+        mp.PlannerConfig(
+            max_outer_iteration=2, inner_schedule=(5, 0)
+        )  # entries must be >= 1
+
+
 def test_obstacle_padding_is_exact():
     """Zero-weight padded obstacles must not perturb the result AT ALL."""
     cfg11 = mp.PlannerConfig(max_obstacles=11)
