@@ -142,11 +142,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.platform != "auto":
+        import os
+
         import jax
 
-        jax.config.update(
-            "jax_platforms", "cpu" if args.platform == "cpu" else "tpu"
-        )
+        if args.platform == "cpu":
+            platforms = "cpu"
+        else:
+            # "tpu" means "the accelerator": honor an environment that names
+            # its TPU plugin differently (e.g. the tunneled 'axon' platform
+            # on this machine) instead of failing to find a literal "tpu".
+            env = os.environ.get("JAX_PLATFORMS", "")
+            platforms = env if env and env != "cpu" else "tpu"
+        jax.config.update("jax_platforms", platforms)
 
     import jax
     import jax.numpy as jnp

@@ -60,6 +60,7 @@ def make_shard_map_solver(
     solver: str = "bls",
     engine: str = "vmap",
     backend: str = "xla",
+    interpret: bool = False,
 ):
     """Explicit SPMD solver: each device runs the batched solve on its local
     scenario shard, then global fleet statistics are reduced with psum over
@@ -77,7 +78,8 @@ def make_shard_map_solver(
             from ..solvers.fleet import fleet_solve
 
             res = fleet_solve(
-                cfg, basis_arg, scenarios, solver=solver, backend=backend
+                cfg, basis_arg, scenarios, solver=solver, backend=backend,
+                interpret=interpret,
             )
         else:
             res = solve_batch(cfg, basis_arg, scenarios, solver=solver)
