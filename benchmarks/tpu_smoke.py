@@ -1,0 +1,142 @@
+"""Real-TPU smoke gate: compile and run the Mosaic kernel paths on the
+actual chip and check them against the XLA backend.
+
+Everything else in tests/ runs the Pallas kernels in INTERPRET mode on CPU,
+which validates kernel semantics but not Mosaic lowering — an op Mosaic
+cannot lower (or lowers wrongly) would pass the whole suite.  This gate
+compiles and executes, on the real TPU:
+
+* the fused whole-solve kernel (backend='fused'), BLS + GD,
+* the per-step kernel path (backend='pallas'),
+* at 128-lane tiles (the minimum Mosaic-legal lane width) on the reference
+  scene AND a random-scene batch,
+
+and asserts (a) every output finite, (b) reference-scene quality within the
+declared tolerance of the reference's final costs (same gate as bench.py),
+(c) kernel-vs-XLA agreement on the random batch, distribution-level
+(mean final cost within 1%, converged fraction within 0.05 — per-lane
+outcomes are fp-path-dependent, CLAUDE.md).
+
+Usage: python benchmarks/tpu_smoke.py        (default env = the TPU)
+Prints one JSON line; exit 0 iff all checks pass.  Runtime after the
+compile cache is warm: a few seconds.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import irm_motion_planning_tpu as mp
+from irm_motion_planning_tpu.solvers import fleet
+
+REF_QUALITY = {"bls": (1.6370234, 2.1964114), "gd": (1.6673477, 2.2091691)}
+
+
+def lane0_quality(cfg, basis, scn, res):
+    alpha = jnp.asarray(np.asarray(res.alpha[0]))
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg = float(mp.total_cost(
+        cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha))
+    mx = float(mp.total_cost(
+        cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha))
+    rep = mp.constraint_report(cfg, basis, scn, alpha)
+    err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
+    return avg, mx, err
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--tol", type=float, default=0.02)
+    args = p.parse_args()
+
+    platform = jax.devices()[0].platform
+    checks = {}
+    ok = True
+
+    def record(name, passed, detail):
+        nonlocal ok
+        checks[name] = {"pass": bool(passed), **detail}
+        ok = ok and bool(passed)
+
+    # --- Reference-scene quality through the Mosaic kernels ---
+    for solver in ("bls", "gd"):
+        sched = {"bls": mp.REFERENCE_INNER_SCHEDULE_BLS,
+                 "gd": mp.REFERENCE_INNER_SCHEDULE_GD}[solver]
+        cfg = mp.PlannerConfig(
+            bls_mode="ladder", fixed_iters=True, pallas_block_b=128,
+            inner_schedule=sched, max_inner_iteration=max(sched),
+        )
+        basis = mp.make_basis(cfg)
+        scn = mp.reference_scenario(cfg)
+        scns = mp.replicate_scenario(scn, args.batch)
+        res = jax.block_until_ready(
+            fleet.make_fleet_solver(cfg, basis, solver=solver,
+                                    backend="fused")(scns)
+        )
+        finite = bool(np.isfinite(np.asarray(res.alpha)).all())
+        avg, mx, err = lane0_quality(cfg, basis, scn, res)
+        ref_avg, ref_max = REF_QUALITY[solver]
+        endpoint_bound = cfg.eps_position if solver == "bls" else 0.1
+        record(
+            f"fused_{solver}_reference_scene",
+            finite and avg <= ref_avg * (1 + args.tol)
+            and mx <= ref_max * (1 + args.tol) and err < endpoint_bound,
+            {"avg_cost": round(avg, 4), "max_cost": round(mx, 4),
+             "endpoint_err": round(err, 4), "finite": finite},
+        )
+
+    # --- Kernel backends vs XLA on a random batch, distributional ---
+    cfg = mp.PlannerConfig(bls_mode="ladder", fixed_iters=True,
+                           max_inner_iteration=15, pallas_block_b=128)
+    basis = mp.make_basis(cfg)
+    scns = mp.random_scenarios(cfg, jax.random.PRNGKey(7), args.batch)
+    stats = {}
+    for backend in ("xla", "pallas", "fused"):
+        res = jax.block_until_ready(
+            fleet.make_fleet_solver(cfg, basis, backend=backend)(scns)
+        )
+        finite = bool(np.isfinite(np.asarray(res.alpha)).all())
+        stats[backend] = {
+            "finite": finite,
+            "mean_cost": float(np.mean(np.asarray(res.stats.final_cost))),
+            "conv": float(np.mean(np.asarray(res.stats.converged))),
+        }
+    for backend in ("pallas", "fused"):
+        s, x = stats[backend], stats["xla"]
+        record(
+            f"{backend}_vs_xla_random",
+            s["finite"] and x["finite"]
+            and abs(s["mean_cost"] - x["mean_cost"])
+            <= 0.01 * max(abs(x["mean_cost"]), 1e-6)
+            and abs(s["conv"] - x["conv"]) <= 0.05,
+            {"mean_cost": round(s["mean_cost"], 4),
+             "xla_mean_cost": round(x["mean_cost"], 4),
+             "conv": round(s["conv"], 4), "xla_conv": round(x["conv"], 4)},
+        )
+
+    print(json.dumps({
+        "metric": "tpu_smoke", "platform": platform,
+        "batch": args.batch, "pass": ok, "checks": checks,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

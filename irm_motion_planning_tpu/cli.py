@@ -89,8 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["fused", "pallas", "xla"], default="xla",
                    help="Fleet backend: fused (whole-solve TPU kernel), pallas "
                         "(per-step TPU kernel), xla (portable)")
-    p.add_argument("--bls-mode", choices=["sequential", "ladder"], default="sequential",
-                   help="Line search execution: reference-sequential or parallel ladder")
+    p.add_argument("--bls-mode", choices=["sequential", "ladder"], default=None,
+                   help="Line search execution: reference-sequential or parallel "
+                        "ladder.  Default: sequential (reference semantics) for "
+                        "the single-scenario/vmap/plain paths, ladder for the "
+                        "fleet engine (which is ladder-only; explicitly "
+                        "requesting sequential there is an error)")
     p.add_argument("--fixed-iters", type=_bool, default=False,
                    help="Fixed-horizon masked loops (throughput mode)")
     p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
@@ -100,6 +104,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="trajectory_result.txt")
     p.add_argument("--series-output", default="trajectory_series.txt")
     return p
+
+
+def resolve_bls_mode(args) -> str:
+    """Context-dependent default (see --bls-mode help)."""
+    if args.bls_mode is not None:
+        return args.bls_mode
+    if args.batch > 0 and args.engine == "fleet":
+        return "ladder"
+    return "sequential"
 
 
 def config_from_args(args) -> "PlannerConfig":
@@ -132,7 +145,7 @@ def config_from_args(args) -> "PlannerConfig":
         bls_beta_plus=args.bls_beta_plus,
         bls_beta_minus=args.bls_beta_minus,
         gd_lr=tuple(args.gd_lr),
-        bls_mode=args.bls_mode,
+        bls_mode=resolve_bls_mode(args),
         fixed_iters=args.fixed_iters,
         matmul_precision=args.matmul_precision,
     )
@@ -183,6 +196,17 @@ def main(argv=None) -> int:
         if args.engine == "fleet":
             from .solvers import fleet
 
+            if args.optimizer_name == "bls" and cfg.bls_mode == "sequential":
+                # Mirror fleet_solve's refusal with CLI-level guidance
+                # instead of a traceback (the flag must not be silently
+                # ignored — the fleet engine is ladder-only).
+                print(
+                    "error: --bls-mode sequential is not supported by "
+                    "--engine fleet; use --bls-mode ladder (identical trial "
+                    "sequence, see solvers/bls.py) or --engine vmap",
+                    file=sys.stderr,
+                )
+                return 2
             run_batch = fleet.make_fleet_solver(
                 cfg, basis, solver=args.optimizer_name, backend=args.backend
             )

@@ -715,6 +715,19 @@ def fleet_solve(
         runs them interpreted for CPU testing.
     Returns: SolveResult with leading-batch leaves.
     """
+    if solver == "bls" and cfg.bls_mode == "sequential":
+        # Never silently substitute semantics: the fleet/pallas engines
+        # implement the line search exclusively as the parallel ladder
+        # (which enumerates exactly the lr sequence the sequential
+        # backtracking loop would try and selects the same first-passing
+        # step — see solvers/bls.py docstring — but evaluates candidates
+        # through the linearized trajectory, a different fp path).  For the
+        # reference's sequential execution at batch scale use the vmap
+        # engine (solvers/batched.py), which honors bls_mode.
+        raise ValueError(
+            "bls_mode='sequential' is not supported by the fleet engine; "
+            "use bls_mode='ladder' (same trial sequence) or the vmap engine"
+        )
     fs = to_fleet(scenarios)
     B = scenarios.start.shape[0]
     if alpha0 is None:

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Stash the launch platform so subprocess-based tests (the real-TPU smoke
+# gate) can restore the default environment.
+os.environ.setdefault("_PRE_CONFTEST_JAX_PLATFORMS",
+                      os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

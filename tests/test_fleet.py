@@ -145,3 +145,17 @@ def test_fleet_fixed_iters(setup):
     cfg_f = cfg.replace(fixed_iters=True, max_inner_iteration=10)
     res = fleet.make_fleet_solver(cfg_f, basis)(scns)
     assert np.isfinite(np.asarray(res.stats.final_cost)).all()
+
+
+def test_fleet_rejects_sequential_bls_mode():
+    """No flag is silently ignored: the fleet engine is ladder-only and must
+    say so (the vmap engine honors bls_mode='sequential')."""
+    cfg = mp.PlannerConfig(bls_mode="sequential", fixed_iters=True,
+                           max_inner_iteration=2, max_outer_iteration=1)
+    basis = mp.make_basis(cfg)
+    scns = mp.random_scenarios(cfg, jax.random.PRNGKey(0), 4)
+    with pytest.raises(ValueError, match="sequential"):
+        fleet.fleet_solve(cfg, basis, scns, backend="xla")
+    # GD has no line search; sequential mode is meaningless there and the
+    # fleet engine accepts it.
+    fleet.fleet_solve(cfg, basis, scns, solver="gd", backend="xla")

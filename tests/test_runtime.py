@@ -200,3 +200,34 @@ def test_cli_plain_loop_with_series(tmp_path):
                   "--optimizer-name", "gd"], str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "trajectory_series.txt").exists()
+
+
+def test_cli_rejects_fleet_sequential():
+    """--bls-mode sequential + --engine fleet is an explicit error (exit 2),
+    not silently-substituted ladder semantics."""
+    import subprocess, sys, os
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "irm_motion_planning_tpu.cli",
+         "--platform", "cpu", "--batch", "8", "--engine", "fleet",
+         "--bls-mode", "sequential", "--max-outer-iteration", "1",
+         "--max-inner-iteration", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 2
+    assert "sequential" in out.stderr
+
+
+def test_cli_vmap_engine_honors_sequential():
+    import subprocess, sys, os
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "irm_motion_planning_tpu.cli",
+         "--platform", "cpu", "--batch", "4", "--engine", "vmap",
+         "--bls-mode", "sequential", "--max-outer-iteration", "1",
+         "--max-inner-iteration", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
