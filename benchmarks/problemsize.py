@@ -52,9 +52,12 @@ def main():
 
     rows = []
     for T in [int(s) for s in args.sizes.split(",")]:
+        # pallas_block_b=0: lane tiles auto-sized from the scoped-VMEM model
+        # (and the kernel's vmem limit raised for large T) — see
+        # ops/pallas_step.py::choose_block_b.
         cfg = mp.PlannerConfig(
             n_timesteps=T, bls_mode="ladder", fixed_iters=True,
-            max_inner_iteration=args.inner,
+            max_inner_iteration=args.inner, pallas_block_b=0,
         )
         basis = mp.make_basis(cfg)
         scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)

@@ -121,8 +121,11 @@ class PlannerConfig:
     # with the CPU reference; 'default' = bf16 passes, fastest).
     matmul_precision: Literal["default", "high", "highest"] = "highest"
     # Lanes per Pallas kernel tile (batch must be a multiple).  Bigger tiles
-    # amortize per-tile scheduling overhead; bounded by VMEM.
-    pallas_block_b: int = 512
+    # amortize per-tile scheduling overhead; bounded by VMEM.  0 = choose
+    # automatically from the scoped-VMEM model (ops/pallas_step.py::
+    # choose_block_b), which also raises the kernel's vmem limit for large
+    # problems so no legal choice can OOM at compile time.
+    pallas_block_b: int = 0
     # Refine the in-kernel approximate reciprocal with one Newton step
     # (~1.4e-5 relative error; False = raw hardware approximation, ~2^-12).
     # Both sit below the 5e-3 cross-engine fp noise floor.  Default False:

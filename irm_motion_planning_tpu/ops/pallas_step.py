@@ -63,6 +63,61 @@ def _dot(a, b, precision=HIGHEST):
     )
 
 
+# ---------------------------------------------------------------------------
+# Scoped-VMEM model + lane-tile auto-sizing.
+#
+# Calibrated against Mosaic's own OOM reports for these kernels on v5e:
+# the per-step kernel at (T=400, BT=128) scopes 18.80 MB (measured), i.e.
+# ~370 bytes per (t, lane) element of live plane state, plus the (2T, T)
+# basis pair and dot scratch growing as T^2.  The compiler's DEFAULT scoped
+# limit is 16 MB, but v5e has 128 MB of physical VMEM — for larger problems
+# we RAISE the kernel's limit (pl.CompilerParams(vmem_limit_bytes=...)) to
+# 2x the estimate, capped well under the physical size, instead of refusing
+# to compile.  Only when even a 128-lane tile would blow the raised cap
+# (T beyond ~850) do the kernel backends become infeasible; fleet_solve
+# then falls back to the XLA backend (HBM-resident, any T) with a warning.
+# ---------------------------------------------------------------------------
+
+_VMEM_BYTES_PER_ELT = 370          # live plane state per (t, lane) element
+_VMEM_BYTES_PER_T2 = 24            # basis pair + MXU scratch per T^2
+_VMEM_FIXED = 1 << 20
+_VMEM_DEFAULT_LIMIT = 16 << 20     # Mosaic's default scoped limit
+_VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
+
+
+def estimate_vmem_bytes(T: int, BT: int) -> int:
+    return _VMEM_BYTES_PER_ELT * T * BT + _VMEM_BYTES_PER_T2 * T * T + _VMEM_FIXED
+
+
+def choose_block_b(cfg: PlannerConfig, T: int, B: int):
+    """Lane-tile width for the kernel backends, or None if infeasible.
+
+    An explicit cfg.pallas_block_b is honored (128-lane fallback when it
+    does not divide the batch — the pre-auto behavior); 0 selects the
+    largest tile whose estimated scoped VMEM fits under half the raised cap
+    (the limit is set to 2x the estimate, see _compiler_params)."""
+    if cfg.pallas_block_b:
+        if B % cfg.pallas_block_b == 0:
+            return cfg.pallas_block_b
+        return 128 if B % 128 == 0 else None
+    for bt in (512, 256, 128):
+        if B % bt == 0 and estimate_vmem_bytes(T, bt) <= _VMEM_RAISED_CAP // 2:
+            return bt
+    return None
+
+
+def _compiler_params(T: int, BT: int, interpret: bool):
+    """Raise the kernel's scoped-VMEM limit when the estimate needs it."""
+    if interpret:
+        return None
+    need = estimate_vmem_bytes(T, BT)
+    if need <= (_VMEM_DEFAULT_LIMIT * 3) // 4:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(2 * need, _VMEM_RAISED_CAP))
+    )
+
+
 class _Body:
     """Static-config kernel code shared by both kernels."""
 
@@ -574,6 +629,7 @@ def gd_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(T, BT, interpret),
     )(kv, kvt, mix, alpha, grad, traj, vel, loss, lr, minimized,
       lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasStep(*outs)
@@ -671,6 +727,7 @@ def bls_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(T, BT, interpret),
     )(
         kv, kvt, mix, alpha, grad, traj, vel,
         loss, bls_lr, minimized, lam_sg, lam_jl, start, goal, ox, oy, ow,
@@ -891,6 +948,7 @@ def fused_solve(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(T, BT, interpret),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -938,5 +996,6 @@ def cost_grad_eval(
             jax.ShapeDtypeStruct((J, T, B), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(T, BT, interpret),
     )(kv, kvt, mix, alpha, lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasEval(*outs)

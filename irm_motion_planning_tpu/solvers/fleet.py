@@ -459,8 +459,8 @@ class _PallasOuter(NamedTuple):
 
 
 def _pallas_fused_solve(
-    cfg: PlannerConfig, basis, scn: Scenario, a0, solver: str = "bls",
-    interpret: bool = False,
+    cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
+    solver: str = "bls", interpret: bool = False,
 ) -> SolveResult:
     """The whole dual solve as ONE VMEM-resident kernel launch (see
     ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
@@ -468,7 +468,6 @@ def _pallas_fused_solve(
     from ..ops import pallas_step
 
     B = a0.shape[-1]
-    block_b = cfg.pallas_block_b if B % cfg.pallas_block_b == 0 else 128
     out = pallas_step.fused_solve(
         cfg, basis.kv, basis.kv.T, basis.mix, a0,
         jnp.full((1, B), cfg.lambda_sg_constraint, jnp.float32),
@@ -489,8 +488,8 @@ def _pallas_fused_solve(
 
 
 def _pallas_solve(
-    cfg: PlannerConfig, basis, scn: Scenario, a0, solver: str = "bls",
-    interpret: bool = False,
+    cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
+    solver: str = "bls", interpret: bool = False,
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
@@ -502,7 +501,6 @@ def _pallas_solve(
     ow = scn.obstacle_weight
     kvt = basis.kv.T
     B = a0.shape[-1]
-    block_b = cfg.pallas_block_b if B % cfg.pallas_block_b == 0 else 128
     step_fn = {
         "bls": pallas_step.bls_inner_step,
         "gd": pallas_step.gd_inner_step,
@@ -739,12 +737,30 @@ def fleet_solve(
         jnp.full((B,), cfg.lambda_jl_constraint, jnp.float32),
     )
     if backend in ("pallas", "fused"):
-        a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
-        solve_impl = (
-            _pallas_fused_solve if backend == "fused" else _pallas_solve
-        )
-        return solve_impl(cfg, basis, fs, a0k, solver=solver,
-                          interpret=interpret)
+        from ..ops import pallas_step
+
+        block_b = pallas_step.choose_block_b(cfg, cfg.n_timesteps, B)
+        if block_b is None:
+            # Kernel backends infeasible (scoped-VMEM model says even a
+            # 128-lane tile would blow the raised cap, or the batch has no
+            # legal tiling): fall back to the HBM-resident XLA engine, which
+            # handles any problem size.
+            import warnings
+
+            warnings.warn(
+                f"pallas backends infeasible for T={cfg.n_timesteps}, "
+                f"B={B} (scoped-VMEM estimate over cap or no legal lane "
+                f"tile); falling back to backend='xla'",
+                stacklevel=2,
+            )
+            backend = "xla"
+        else:
+            a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
+            solve_impl = (
+                _pallas_fused_solve if backend == "fused" else _pallas_solve
+            )
+            return solve_impl(cfg, basis, fs, a0k, block_b, solver=solver,
+                              interpret=interpret)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(

@@ -117,8 +117,17 @@ def plot_environment(
         ax.scatter(*start_ee, c="lime", s=60, zorder=5, label="start")
         ax.scatter(*goal_ee, c="orange", s=60, zorder=5, label="goal")
     if show_straight_line:
-        ax.plot([start_ee[0], goal_ee[0]], [start_ee[1], goal_ee[1]],
-                "w--", lw=1, label="straight line")
+        # The reference's "straight line" is straight in JOINT space — the
+        # quintic-smoothstep interpolation the optimizer warm-starts from —
+        # whose FK image is a curve in the workspace (ref: env_vis.py:169-174
+        # plots fk of the initial joint-space trajectory).
+        t = np.linspace(0.0, 1.0, 50)
+        c = (6 * t**5 - 15 * t**4 + 10 * t**3)[:, None]  # ref: trajectory.py:38
+        line = np.asarray(scn.start)[None, :] + c * (
+            np.asarray(scn.goal) - np.asarray(scn.start)
+        )[None, :]
+        ee_line = np.asarray(robot.fk(cfg, jnp.asarray(line)))
+        ax.plot(ee_line[0], ee_line[1], "w--", lw=1, label="straight line")
     if show_sg_robot:
         draw_arm(ax, cfg, np.asarray(scn.start), color="lime",
                  label="start pose")

@@ -48,19 +48,32 @@ def test_plot_environment_with_gradient(tmp_path, setup):
 
 def test_plot_environment_toggle_matrix(tmp_path, setup):
     """The reference's full env_vis toggle set (ref: env_vis.py:45-52) is
-    honored: each toggle flips on/off without error and changes the figure."""
+    honored: EACH toggle, flipped alone against the baseline, changes the
+    rendered figure (a single ignored toggle fails its own case — flipping
+    all of them at once could mask one)."""
     cfg, scn, traj = setup
     base = plots.plot_environment(
         cfg, scn, str(tmp_path / "base.png"), trajectory=traj
     )
-    alt = plots.plot_environment(
-        cfg, scn, str(tmp_path / "alt.png"), trajectory=traj,
-        show_legend=False, show_sgb=False, show_sg_robot=False,
-        show_obstacles=True, show_straight_line=False,
-        show_final_ee=False, show_final_robot=True,
-    )
-    assert os.path.getsize(base) > 10_000 and os.path.getsize(alt) > 10_000
-    assert open(base, "rb").read() != open(alt, "rb").read()
+    assert os.path.getsize(base) > 10_000
+    base_bytes = open(base, "rb").read()
+    flips = {
+        "show_legend": False,
+        "show_sgb": False,
+        "show_sg_robot": False,
+        "show_obstacles": True,
+        "show_straight_line": False,
+        "show_final_ee": False,
+        "show_final_robot": True,
+        "show_gradient": True,
+    }
+    for name, value in flips.items():
+        out = plots.plot_environment(
+            cfg, scn, str(tmp_path / f"{name}.png"), trajectory=traj,
+            **{name: value},
+        )
+        assert os.path.getsize(out) > 10_000
+        assert open(out, "rb").read() != base_bytes, f"{name} had no effect"
 
 
 def test_vis_cli_env_mode(tmp_path, setup):
