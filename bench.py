@@ -61,7 +61,7 @@ SCHEDULES = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=262144,
+    p.add_argument("--batch", type=int, default=524288,
                    help="scenario lanes; throughput rises with batch "
                         "(fixed overheads amortize; VPU fills)")
     p.add_argument("--repeats", type=int, default=5)

@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "requesting sequential there is an error)")
     p.add_argument("--fixed-iters", type=_bool, default=False,
                    help="Fixed-horizon masked loops (throughput mode)")
+    p.add_argument("--inner-schedule", default=None,
+                   help="Per-penalty-round inner-step budgets for "
+                        "--fixed-iters, comma-separated (one per outer "
+                        "round), or 'reference' for the measured "
+                        "reference-scene schedule (bench.py's protocol; "
+                        "see config.REFERENCE_INNER_SCHEDULE_*)")
     p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
                    default="highest")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
@@ -113,6 +119,20 @@ def resolve_bls_mode(args) -> str:
     if args.batch > 0 and args.engine == "fleet":
         return "ladder"
     return "sequential"
+
+
+def resolve_inner_schedule(args):
+    if getattr(args, "inner_schedule", None) is None:
+        return None
+    from . import config as cfglib
+
+    if args.inner_schedule == "reference":
+        name = getattr(args, "optimizer_name", "bls")
+        return {
+            "bls": cfglib.REFERENCE_INNER_SCHEDULE_BLS,
+            "gd": cfglib.REFERENCE_INNER_SCHEDULE_GD,
+        }[name][: args.max_outer_iteration]
+    return tuple(int(x) for x in args.inner_schedule.split(","))
 
 
 def config_from_args(args) -> "PlannerConfig":
@@ -147,6 +167,7 @@ def config_from_args(args) -> "PlannerConfig":
         gd_lr=tuple(args.gd_lr),
         bls_mode=resolve_bls_mode(args),
         fixed_iters=args.fixed_iters,
+        inner_schedule=resolve_inner_schedule(args),
         matmul_precision=args.matmul_precision,
     )
 

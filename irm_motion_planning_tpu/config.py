@@ -117,6 +117,15 @@ class PlannerConfig:
     # early-exiting while_loops.  Fixed horizons are what batch/shard without
     # divergence stragglers; required for the throughput benchmark.
     fixed_iters: bool = False
+    # How the fleet/kernel engines evaluate line-search candidates:
+    # 'linearized' (default, fastest) exploits that the RKHS map is linear
+    # in alpha — every rung's trajectory is an affine combination of two
+    # already-evaluated points, zero basis GEMMs per rung.  Exact in real
+    # arithmetic but a different fp path: on the reference scene it lands
+    # ~0.6% above the reference's final avg cost.  'exact' evaluates each
+    # candidate through the basis GEMMs like the reference does — measured
+    # +0.17% avg-cost gap — at the cost of forward GEMMs per rung.
+    ladder_eval: Literal["linearized", "exact"] = "linearized"
     # f32 matmul precision on the MXU ('highest' = f32-accurate for parity
     # with the CPU reference; 'default' = bf16 passes, fastest).
     matmul_precision: Literal["default", "high", "highest"] = "highest"

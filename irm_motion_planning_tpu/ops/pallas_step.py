@@ -385,14 +385,16 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
         gsum = gsum + grad[j]
     alpha_norm = jnp.sum(gsum * (gsum * inv_norm), axis=0, keepdims=True)
 
-    # evaluate the search direction once (evaluation is linear in alpha)
-    gtraj, gvel = body.forward_planes(kv, mix, n_grad)
+    linearized = cfg.ladder_eval == "linearized"
+    if linearized:
+        # evaluate the search direction once (evaluation is linear in alpha)
+        gtraj, gvel = body.forward_planes(kv, mix, n_grad)
 
-    # (1 - reg*lr)*x - lr*g == x - lr*(reg*x + g): hoist the combined
-    # direction so each ladder rung pays one mul+sub per plane, not two
-    # muls+sub.
-    dir_t = [cfg.lambda_reg * traj[j] + gtraj[j] for j in range(J)]
-    dir_v = [cfg.lambda_reg * vel[j] + gvel[j] for j in range(J)]
+        # (1 - reg*lr)*x - lr*g == x - lr*(reg*x + g): hoist the combined
+        # direction so each ladder rung pays one mul+sub per plane, not two
+        # muls+sub.
+        dir_t = [cfg.lambda_reg * traj[j] + gtraj[j] for j in range(J)]
+        dir_v = [cfg.lambda_reg * vel[j] + gvel[j] for j in range(J)]
 
     # Ladder as an early-exiting loop: rungs are tried in the same order as
     # the sequential reference; the loop ends as soon as every live lane in
@@ -405,8 +407,15 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     def ladder_body(c):
         r, rung, found, lr_best, loss_best = c
         lr_r = bls_lr * rung
-        cand_t = [traj[j] - lr_r * dir_t[j] for j in range(J)]
-        cand_v = [vel[j] - lr_r * dir_v[j] for j in range(J)]
+        if linearized:
+            cand_t = [traj[j] - lr_r * dir_t[j] for j in range(J)]
+            cand_v = [vel[j] - lr_r * dir_v[j] for j in range(J)]
+        else:
+            # exact: candidate alpha through the basis GEMMs
+            # (ref: optimizer_BLS.py:139; config.ladder_eval).
+            a_fac_r = 1.0 - cfg.lambda_reg * lr_r
+            cand_a = [a_fac_r * alpha[j] - lr_r * n_grad[j] for j in range(J)]
+            cand_t, cand_v = body.forward_planes(kv, mix, cand_a)
         ee_x, ee_y, _, _ = body.fk_ee(cand_t)
         cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
         closs = body.scalar_cost(
@@ -446,13 +455,17 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     a_fac = 1.0 - cfg.lambda_reg * lr_eff
     new_alpha = [a_fac * alpha[j] - lr_eff * n_grad[j] for j in range(J)]
 
-    # Linearized evaluation: the RKHS map alpha -> (traj, vel) is linear, so
-    # the accepted iterate's evaluation is the SAME affine combination as its
-    # alpha update (exact in real arithmetic; re-synced by the fresh forward
-    # evaluation at the start of every penalty round).  Skips the J forward
-    # basis GEMMs of a full cost_grad_eval per inner step.
-    nt = [traj[j] - lr_eff * dir_t[j] for j in range(J)]
-    nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
+    if linearized:
+        # Linearized evaluation: the RKHS map alpha -> (traj, vel) is
+        # linear, so the accepted iterate's evaluation is the SAME affine
+        # combination as its alpha update (exact in real arithmetic;
+        # re-synced by the fresh forward evaluation at the start of every
+        # penalty round).  Skips the J forward basis GEMMs of a full
+        # cost_grad_eval per inner step.
+        nt = [traj[j] - lr_eff * dir_t[j] for j in range(J)]
+        nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
+    else:
+        nt, nv = body.forward_planes(kv, mix, new_alpha)
     nloss, ngrad = body.cost_grad_from_traj(
         kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
     )

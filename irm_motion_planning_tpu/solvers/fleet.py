@@ -350,17 +350,28 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 alpha_norm = jnp.sum(
                     jnp.sum(s.grad, axis=1) * jnp.sum(n_grad, axis=1), axis=0
                 )  # (B,)
-                # LINEARIZATION: evaluation is linear in alpha, so every
-                # rung's trajectory is an affine combination of the CURRENT
-                # evaluation (carried in the state) and ONE evaluation of the
-                # search direction — no per-candidate basis GEMM.
-                gtraj, gvel = fleet_evaluate(cfg, basis, n_grad)
                 # Rung-major candidates (T, J, n, B): the batch stays on the
                 # minor axis so every elementwise op runs full-width lanes.
                 lrs = rungs[:, None] * s.bls_lr[None]            # (n, B)
                 a_fac = 1.0 - cfg.lambda_reg * lrs               # (n, B)
-                cand_traj = a_fac * s.traj[:, :, None] - lrs * gtraj[:, :, None]
-                cand_vel = a_fac * s.vel[:, :, None] - lrs * gvel[:, :, None]
+                if cfg.ladder_eval == "linearized":
+                    # LINEARIZATION: evaluation is linear in alpha, so every
+                    # rung's trajectory is an affine combination of the
+                    # CURRENT evaluation (carried in the state) and ONE
+                    # evaluation of the search direction — no per-candidate
+                    # basis GEMM.  Exact in real arithmetic; see
+                    # config.ladder_eval for the measured fp-path trade.
+                    gtraj, gvel = fleet_evaluate(cfg, basis, n_grad)
+                    cand_traj = a_fac * s.traj[:, :, None] - lrs * gtraj[:, :, None]
+                    cand_vel = a_fac * s.vel[:, :, None] - lrs * gvel[:, :, None]
+                else:
+                    # EXACT: each rung's candidate alpha through the basis
+                    # GEMMs, like the reference (ref: optimizer_BLS.py:139).
+                    cand_alpha = (
+                        a_fac[None, None] * s.alpha[:, :, None]
+                        - lrs[None, None] * n_grad[:, :, None]
+                    )                                            # (T, J, n, B)
+                    cand_traj, cand_vel = fleet_evaluate(cfg, basis, cand_alpha)
                 cand_loss = fleet_cost_from_traj(
                     cfg, scn, penalty, cand_traj, cand_vel
                 )                                                # (n, B)

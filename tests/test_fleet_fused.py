@@ -118,3 +118,18 @@ def test_inner_schedule_gd_parity(setup):
     np.testing.assert_array_equal(
         np.asarray(r_f.stats.inner_iters), np.asarray(r_s.stats.inner_iters)
     )
+
+
+def test_exact_ladder_parity_across_kernels(setup):
+    """ladder_eval='exact' (per-rung forward GEMMs instead of the linearized
+    affine combination) must agree between the two kernel paths."""
+    cfg, basis, scns = setup
+    cfg = cfg.replace(ladder_eval="exact")
+    r_s = fleet.fleet_solve(cfg, basis, scns, backend="pallas", interpret=True)
+    r_f = fleet.fleet_solve(cfg, basis, scns, backend="fused", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(r_f.alpha), np.asarray(r_s.alpha), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_f.stats.inner_iters), np.asarray(r_s.stats.inner_iters)
+    )

@@ -143,3 +143,34 @@ def test_obstacle_padding_is_exact():
     t11, a11, m11, _ = _solve(cfg11, bls, scn11)
     t16, a16, m16, _ = _solve(cfg16, bls, scn16)
     np.testing.assert_array_equal(t11, t16)
+
+
+def test_headline_schedule_quality_exact_ladder():
+    """ladder_eval='exact' evaluates line-search candidates through the
+    basis GEMMs like the reference; on the reference scene it must land
+    within 0.25% of the reference's final costs (measured +0.17%/+0.06% —
+    the linearized default trades this to ~0.65% for zero per-rung GEMMs,
+    see config.ladder_eval)."""
+    from irm_motion_planning_tpu.solvers import fleet
+
+    sched = mp.REFERENCE_INNER_SCHEDULE_BLS
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True, ladder_eval="exact",
+        inner_schedule=sched, max_inner_iteration=max(sched),
+    )
+    basis = mp.make_basis(cfg)
+    scn = mp.reference_scenario(cfg)
+    res = jax.jit(
+        lambda b, s: fleet.fleet_solve(cfg, b, s, solver="bls", backend="xla")
+    )(basis, mp.replicate_scenario(scn, 8))
+    alpha = res.alpha[0]
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha)
+    )
+    max_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha)
+    )
+    ref_avg, ref_max = REF_COST["bls"]
+    assert avg_c <= ref_avg * 1.0025, f"avg {avg_c} vs ref {ref_avg}"
+    assert max_c <= ref_max * 1.0025, f"max {max_c} vs ref {ref_max}"
