@@ -73,6 +73,12 @@ def main():
     p.add_argument("--backends", default="xla,pallas,fused")
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--inner", type=int, default=15)
+    p.add_argument("--schedule", action="store_true",
+                   help="use the benchmark's per-round inner schedule "
+                        "(config.REFERENCE_INNER_SCHEDULE_*) instead of a "
+                        "uniform --inner budget")
+    p.add_argument("--ladder-eval", choices=["linearized", "exact"],
+                   default="linearized")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--recip-newton", type=lambda x: str(x).lower() == "true",
                    default=True,
@@ -91,9 +97,16 @@ def main():
                    help="max allowed relative mean-cost gap vs first backend")
     args = p.parse_args()
 
+    if args.schedule:
+        sched = {"bls": mp.REFERENCE_INNER_SCHEDULE_BLS,
+                 "gd": mp.REFERENCE_INNER_SCHEDULE_GD}[args.solver]
+        sched_kw = dict(inner_schedule=sched, max_inner_iteration=max(sched))
+    else:
+        sched_kw = dict(max_inner_iteration=args.inner)
     cfg = mp.PlannerConfig(
-        bls_mode="ladder", fixed_iters=True, max_inner_iteration=args.inner,
-        recip_newton=args.recip_newton,
+        bls_mode="ladder", fixed_iters=True,
+        recip_newton=args.recip_newton, ladder_eval=args.ladder_eval,
+        **sched_kw,
     )
     basis = mp.make_basis(cfg)
     scns = mp.random_scenarios(cfg, jax.random.PRNGKey(args.seed), args.batch)
