@@ -102,6 +102,33 @@ def main():
              "endpoint_err": round(err, 4), "finite": finite},
         )
 
+    # --- Exact-ladder mode through the fused Mosaic kernel: tracks the
+    # reference's own path (per-rung forward GEMMs) — avg cost must match
+    # or beat the reference's, max cost within tol, endpoint within the
+    # reference's own violated finish (0.046) + slack ---
+    sched = mp.REFERENCE_INNER_SCHEDULE_BLS
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True, pallas_block_b=128,
+        ladder_eval="exact",
+        inner_schedule=sched, max_inner_iteration=max(sched),
+    )
+    basis = mp.make_basis(cfg)
+    scn = mp.reference_scenario(cfg)
+    res = jax.block_until_ready(
+        fleet.make_fleet_solver(cfg, basis, backend="fused")(
+            mp.replicate_scenario(scn, args.batch))
+    )
+    avg, mx, err = lane0_quality(cfg, basis, scn, res)
+    ref_avg, ref_max = REF_QUALITY["bls"]
+    record(
+        "fused_bls_exact_ladder_reference_scene",
+        bool(np.isfinite(np.asarray(res.alpha)).all())
+        and avg <= ref_avg * (1 + args.tol)
+        and mx <= ref_max * (1 + args.tol) and err < 0.05,
+        {"avg_cost": round(avg, 4), "max_cost": round(mx, 4),
+         "endpoint_err": round(err, 4)},
+    )
+
     # --- Kernel backends vs XLA on a random batch, distributional ---
     cfg = mp.PlannerConfig(bls_mode="ladder", fixed_iters=True,
                            max_inner_iteration=15, pallas_block_b=128)
