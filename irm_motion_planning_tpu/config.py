@@ -163,6 +163,16 @@ class PlannerConfig:
                 )
             if any(int(n) < 1 for n in self.inner_schedule):
                 raise ValueError("inner_schedule entries must be >= 1")
+        # Literal fields are only type HINTS — typos would otherwise flow
+        # into string comparisons and silently select a default branch.
+        for field, allowed in (
+            ("bls_mode", ("sequential", "ladder")),
+            ("ladder_eval", ("linearized", "exact")),
+            ("matmul_precision", ("default", "high", "highest")),
+        ):
+            value = getattr(self, field)
+            if value not in allowed:
+                raise ValueError(f"{field}={value!r} not in {allowed}")
 
     def replace(self, **kw) -> "PlannerConfig":
         return dataclasses.replace(self, **kw)

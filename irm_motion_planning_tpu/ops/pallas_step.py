@@ -107,15 +107,16 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
 
 
 def _compiler_params(T: int, BT: int, interpret: bool):
-    """Raise the kernel's scoped-VMEM limit when the estimate needs it."""
+    """Kernel compiler params: the lane-tile grid axis is embarrassingly
+    parallel (tiles never communicate), declared so Mosaic can pipeline it
+    freely; the scoped-VMEM limit is raised when the estimate needs it."""
     if interpret:
         return None
     need = estimate_vmem_bytes(T, BT)
-    if need <= (_VMEM_DEFAULT_LIMIT * 3) // 4:
-        return None
-    return pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(2 * need, _VMEM_RAISED_CAP))
-    )
+    kw = {"dimension_semantics": ("parallel",)}
+    if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
+        kw["vmem_limit_bytes"] = int(min(2 * need, _VMEM_RAISED_CAP))
+    return pltpu.CompilerParams(**kw)
 
 
 class _Body:

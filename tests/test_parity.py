@@ -174,3 +174,12 @@ def test_headline_schedule_quality_exact_ladder():
     ref_avg, ref_max = REF_COST["bls"]
     assert avg_c <= ref_avg * 1.0025, f"avg {avg_c} vs ref {ref_avg}"
     assert max_c <= ref_max * 1.0025, f"max {max_c} vs ref {ref_max}"
+
+
+def test_config_literal_validation():
+    """Typos in Literal-typed fields must raise, not silently select a
+    default code path."""
+    for kw in ({"bls_mode": "laddder"}, {"ladder_eval": "linear"},
+               {"matmul_precision": "hi"}):
+        with pytest.raises(ValueError):
+            mp.PlannerConfig(**kw)
