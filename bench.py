@@ -50,9 +50,6 @@ from irm_motion_planning_tpu.solvers import batched
 # Per-solver reference flagships (DevBlog blog-post.html:389-390): the
 # full-JIT-loop CPU solve times.  vs_baseline compares like with like.
 REF_SOLVE_SECONDS = {"bls": 3.12e-3, "gd": 7.26e-3}
-# Final avg/max obstacle cost of the reference's flagship runs on the
-# reference scene (ref: main.py:141-143; also pinned in tests/test_parity.py).
-REF_QUALITY = {"bls": (1.6370234, 2.1964114), "gd": (1.6673477, 2.2091691)}
 SCHEDULES = {
     "bls": mp.REFERENCE_INNER_SCHEDULE_BLS,
     "gd": mp.REFERENCE_INNER_SCHEDULE_GD,
@@ -144,15 +141,11 @@ def main():
     # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.046 —
     # i.e. the reference's own flagship run terminates constraint-VIOLATED).
     scn0 = mp.reference_scenario(cfg)
-    alpha0 = warm.alpha[0]
-    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
-    avg_cost = float(mp.total_cost(
-        cfg.replace(lambda_max_cost=0.0), basis, scn0, pen0, alpha0))
-    max_cost = float(mp.total_cost(
-        cfg.replace(lambda_max_cost=1.0), basis, scn0, pen0, alpha0))
-    rep = mp.constraint_report(cfg, basis, scn0, alpha0)
-    endpoint_err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
-    ref_avg, ref_max = REF_QUALITY[args.solver]
+    q = mp.solution_quality(cfg, basis, scn0, warm.alpha[0])
+    avg_cost = float(q["avg_cost"])
+    max_cost = float(q["max_cost"])
+    endpoint_err = float(q["endpoint_err"])
+    ref_avg, ref_max = mp.REFERENCE_FINAL_COST[args.solver]
     # BLS with the linearized ladder (the headline) must SATISFY the hard
     # constraints — a strictly stronger outcome than the reference, whose
     # flagship run terminates violated at endpoint err 0.046.  The exact

@@ -89,7 +89,10 @@ def spawn_local_cluster(n: int, argv) -> int:
     """Clusterless multi-host validation: fork n copies of this script that
     form a real jax.distributed cluster (gloo over localhost), each owning
     2 virtual CPU devices.  Process 0's JSON line is the result."""
-    port = 19765
+    # Port derived from the parent pid: concurrent --spawn runs (or a
+    # lingering TIME_WAIT socket from a crashed one) must not collide on a
+    # fixed coordinator port.
+    port = 20000 + os.getpid() % 20000
     procs = []
     for i in range(n):
         env = dict(

@@ -45,19 +45,12 @@ import numpy as np
 import irm_motion_planning_tpu as mp
 from irm_motion_planning_tpu.solvers import fleet
 
-REF_QUALITY = {"bls": (1.6370234, 2.1964114), "gd": (1.6673477, 2.2091691)}
+REF_QUALITY = mp.REFERENCE_FINAL_COST
 
 
 def lane0_quality(cfg, basis, scn, res):
-    alpha = jnp.asarray(np.asarray(res.alpha[0]))
-    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
-    avg = float(mp.total_cost(
-        cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha))
-    mx = float(mp.total_cost(
-        cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha))
-    rep = mp.constraint_report(cfg, basis, scn, alpha)
-    err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
-    return avg, mx, err
+    q = mp.solution_quality(cfg, basis, scn, jnp.asarray(np.asarray(res.alpha[0])))
+    return float(q["avg_cost"]), float(q["max_cost"]), float(q["endpoint_err"])
 
 
 def main():

@@ -9,6 +9,7 @@ chip and sharded over TPU pod slices.
 
 from .config import (
     PlannerConfig,
+    REFERENCE_FINAL_COST,
     REFERENCE_INNER_SCHEDULE_BLS,
     REFERENCE_INNER_SCHEDULE_GD,
 )
@@ -28,6 +29,7 @@ from .ops.costs import (
     cost_and_grad,
     constraints_fulfilled,
     constraint_report,
+    solution_quality,
 )
 
 __version__ = "0.1.0"

@@ -39,6 +39,16 @@ _DEFAULT_GD_LR: Tuple[float, ...] = (
 REFERENCE_INNER_SCHEDULE_BLS: Tuple[int, ...] = (48, 8, 4, 32, 64, 16, 8, 8, 8, 8)
 REFERENCE_INNER_SCHEDULE_GD: Tuple[int, ...] = (172, 8, 12, 20, 8, 4, 4, 4, 4, 4)
 
+# Final avg/max unpenalized obstacle costs of the reference's flagship runs
+# on the reference scene (ref: main.py:141-143), from the runs that produced
+# tests/goldens/.  THE single source for every quality gate — bench.py,
+# benchmarks/tpu_smoke.py, and tests/test_parity.py all compare against
+# these (see ops/costs.py::solution_quality for the matching evaluation).
+REFERENCE_FINAL_COST = {
+    "bls": (1.6370234, 2.1964114),
+    "gd": (1.6673477, 2.2091691),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class PlannerConfig:

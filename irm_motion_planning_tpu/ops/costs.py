@@ -340,6 +340,23 @@ def constraints_fulfilled(
     )
 
 
+def solution_quality(cfg: PlannerConfig, basis: Basis, scn: Scenario, alpha) -> dict:
+    """The reference's final quality readout (ref: main.py:141-143) as one
+    helper: unpenalized obstacle cost under both lambda_max extremes plus
+    the worst endpoint error.  Shared by every quality gate (bench.py,
+    benchmarks/tpu_smoke.py, tests/test_parity.py) so they can never drift
+    apart; compare against config.REFERENCE_FINAL_COST."""
+    pen0 = Penalty(jnp.float32(0), jnp.float32(0))
+    avg = total_cost(cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha)
+    mx = total_cost(cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha)
+    rep = constraint_report(cfg, basis, scn, alpha)
+    return {
+        "avg_cost": avg,
+        "max_cost": mx,
+        "endpoint_err": jnp.maximum(rep["start_pos_err"], rep["goal_pos_err"]),
+    }
+
+
 def constraint_report(cfg: PlannerConfig, basis: Basis, scn: Scenario, alpha) -> dict:
     """Per-constraint diagnostics with measured norms — the capability of the
     reference's verbose check (ref: trajectory.py:140-180), returned as a dict

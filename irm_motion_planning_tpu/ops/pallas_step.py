@@ -80,13 +80,19 @@ def _dot(a, b, precision=HIGHEST):
 
 _VMEM_BYTES_PER_ELT = 370          # live plane state per (t, lane) element
 _VMEM_BYTES_PER_T2 = 24            # basis pair + MXU scratch per T^2
+_VMEM_BYTES_PER_OBSTACLE = 16      # the 3 (O, BT) obstacle inputs + slack
 _VMEM_FIXED = 1 << 20
 _VMEM_DEFAULT_LIMIT = 16 << 20     # Mosaic's default scoped limit
 _VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
 
 
-def estimate_vmem_bytes(T: int, BT: int) -> int:
-    return _VMEM_BYTES_PER_ELT * T * BT + _VMEM_BYTES_PER_T2 * T * T + _VMEM_FIXED
+def estimate_vmem_bytes(T: int, BT: int, O: int = 16) -> int:
+    return (
+        _VMEM_BYTES_PER_ELT * T * BT
+        + _VMEM_BYTES_PER_T2 * T * T
+        + _VMEM_BYTES_PER_OBSTACLE * O * BT
+        + _VMEM_FIXED
+    )
 
 
 def choose_block_b(cfg: PlannerConfig, T: int, B: int):
@@ -96,23 +102,24 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
     does not divide the batch — the pre-auto behavior); 0 selects the
     largest tile whose estimated scoped VMEM fits under half the raised cap
     (the limit is set to 2x the estimate, see _compiler_params)."""
+    O = cfg.max_obstacles
     if cfg.pallas_block_b:
         if B % cfg.pallas_block_b == 0:
             return cfg.pallas_block_b
         return 128 if B % 128 == 0 else None
     for bt in (512, 256, 128):
-        if B % bt == 0 and estimate_vmem_bytes(T, bt) <= _VMEM_RAISED_CAP // 2:
+        if B % bt == 0 and estimate_vmem_bytes(T, bt, O) <= _VMEM_RAISED_CAP // 2:
             return bt
     return None
 
 
-def _compiler_params(T: int, BT: int, interpret: bool):
+def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
     freely; the scoped-VMEM limit is raised when the estimate needs it."""
     if interpret:
         return None
-    need = estimate_vmem_bytes(T, BT)
+    need = estimate_vmem_bytes(T, BT, cfg.max_obstacles)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
         kw["vmem_limit_bytes"] = int(min(2 * need, _VMEM_RAISED_CAP))
@@ -643,7 +650,7 @@ def gd_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret),
     )(kv, kvt, mix, alpha, grad, traj, vel, loss, lr, minimized,
       lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasStep(*outs)
@@ -741,7 +748,7 @@ def bls_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret),
     )(
         kv, kvt, mix, alpha, grad, traj, vel,
         loss, bls_lr, minimized, lam_sg, lam_jl, start, goal, ox, oy, ow,
@@ -769,10 +776,12 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     # index is a traced fori counter, so the budget is selected by an
     # unrolled where-ladder (Mosaic-safe; no dynamic gather) and used as a
     # traced fori bound — the loop lowers to a while_loop, program stays
-    # rolled.
+    # rolled.  fixed_iters only: in early-exit mode the schedule is ignored
+    # (config.py contract; the in-kernel minimized mask self-schedules),
+    # matching the xla/per-step backends' inner_loop_bound behavior.
     inner_sched = (
         [int(x) for x in cfg.inner_schedule]
-        if cfg.inner_schedule is not None else None
+        if (cfg.inner_schedule is not None and cfg.fixed_iters) else None
     )
 
     def constraints_ok(traj, vel, start, goal):
@@ -962,7 +971,7 @@ def fused_solve(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -1010,6 +1019,6 @@ def cost_grad_eval(
             jax.ShapeDtypeStruct((J, T, B), jnp.float32),
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret),
     )(kv, kvt, mix, alpha, lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasEval(*outs)

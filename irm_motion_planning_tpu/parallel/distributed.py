@@ -36,20 +36,25 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     initialization_timeout: Optional[int] = None,
+    force: bool = False,
 ) -> bool:
     """Initialize the JAX distributed runtime (multi-host).
 
     Returns True when the distributed runtime is (now or already) live.
 
-    * On TPU pods, calling with no arguments auto-detects everything from
-      the pod metadata environment.
+    * On GKE TPU pods (multi-entry ``TPU_WORKER_HOSTNAMES``) and multislice
+      (``MEGASCALE_COORDINATOR_ADDRESS``), calling with no arguments
+      auto-detects everything.  On plain-GCE pods the peer list lives in
+      the metadata server, not the environment — pass ``force=True`` there
+      (or a coordinator explicitly) to hand auto-detection to
+      ``jax.distributed.initialize()`` unconditionally.
     * On CPU/GPU clusters pass coordinator/num_processes/process_id (or set
       ``COORDINATOR_ADDRESS`` plus ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``).
-    * When a coordinator IS configured (argument or environment) any
-      initialization failure PROPAGATES — a misconfigured pod launch must
-      not silently degrade to a single-process run.
-    * With no coordinator configured anywhere this is an explicit no-op
-      returning False (plain single-process execution).
+    * Multi-process intent is never silently dropped: a configured
+      coordinator that fails to form the cluster PROPAGATES the error, and
+      num_processes/process_id without any coordinator raises.
+    * With nothing configured this is an explicit no-op returning False
+      (plain single-process execution).
     """
     if jax.distributed.is_initialized():
         return True
@@ -64,12 +69,19 @@ def initialize_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
     # Pod auto-detection: require MORE THAN ONE worker host — single-host
     # tunnel setups (this machine: TPU_WORKER_HOSTNAMES=localhost) must
-    # no-op, real pod slices list every worker comma-separated.
+    # no-op, GKE pod slices list every worker comma-separated.
     workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     on_tpu_pod = ("," in workers) or bool(
         os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if coordinator_address is None and not on_tpu_pod:
+    if coordinator_address is None and not (on_tpu_pod or force):
+        if num_processes is not None or process_id is not None:
+            # Explicit multi-process intent with no way to reach peers.
+            raise ValueError(
+                "num_processes/process_id configured but no coordinator "
+                "address; set COORDINATOR_ADDRESS (or pass "
+                "coordinator_address=/force=True for pod auto-detection)"
+            )
         return False
     # Cross-process collectives on the CPU backend need gloo.  Checked via
     # the environment, NOT jax.default_backend(): that call would initialize

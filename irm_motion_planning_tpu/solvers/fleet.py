@@ -521,8 +521,6 @@ def _pallas_solve(
     def inner_round(alpha, lam_sg, lam_jl, skip, outer_iter, round_idx=None):
         """One penalty round.  ``skip`` lanes (already fulfilled) are frozen
         from step 0.  Returns (alpha, traj, vel, iters, loss)."""
-        from .common import inner_loop_bound
-
         bound = inner_loop_bound(cfg, round_idx)
         ev = pallas_step.cost_grad_eval(
             cfg, basis.kv, kvt, basis.mix, alpha,

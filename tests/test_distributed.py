@@ -47,7 +47,8 @@ def _spawn(n, port, outdir, timeout=240):
 
 
 def test_two_process_cluster_matches_single_process(tmp_path):
-    results = _spawn(2, 19841, str(tmp_path))
+    # pid-derived port: avoid collisions with concurrent runs / TIME_WAIT
+    results = _spawn(2, 40000 + os.getpid() % 20000, str(tmp_path))
     for rc, out, err in results:
         assert rc == 0, err[-3000:]
 

@@ -133,3 +133,21 @@ def test_exact_ladder_parity_across_kernels(setup):
     np.testing.assert_array_equal(
         np.asarray(r_f.stats.inner_iters), np.asarray(r_s.stats.inner_iters)
     )
+
+
+def test_inner_schedule_ignored_when_early_exit(setup):
+    """config contract: inner_schedule only applies with fixed_iters=True.
+    In early-exit mode every backend must produce the same result with and
+    without a schedule set (round 1 of this bug: the fused kernel applied
+    the schedule unconditionally, silently truncating rounds)."""
+    cfg, basis, scns = setup
+    cfg = cfg.replace(fixed_iters=False)
+    cfg_s = cfg.replace(inner_schedule=(1, 1), max_inner_iteration=6)
+    for backend in ("xla", "fused"):
+        r_plain = fleet.fleet_solve(cfg, basis, scns, backend=backend,
+                                    interpret=backend != "xla")
+        r_sched = fleet.fleet_solve(cfg_s, basis, scns, backend=backend,
+                                    interpret=backend != "xla")
+        np.testing.assert_array_equal(
+            np.asarray(r_plain.alpha), np.asarray(r_sched.alpha)
+        ), backend

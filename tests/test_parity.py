@@ -24,11 +24,9 @@ from irm_motion_planning_tpu.solvers import bls, gd
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 # Final avg/max obstacle costs printed by the reference runs that produced
-# the goldens (ref: main.py:141-143).
-REF_COST = {
-    "bls": (1.6370234, 2.1964114),
-    "gd": (1.6673477, 2.2091691),
-}
+# the goldens (ref: main.py:141-143) — single-sourced from the config so
+# every gate (bench.py, tpu_smoke.py, these tests) compares the same pins.
+REF_COST = mp.REFERENCE_FINAL_COST
 
 
 def _solve(cfg, solver, scn):

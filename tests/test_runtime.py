@@ -212,7 +212,7 @@ def test_cli_rejects_fleet_sequential():
          "--platform", "cpu", "--batch", "8", "--engine", "fleet",
          "--bls-mode", "sequential", "--max-outer-iteration", "1",
          "--max-inner-iteration", "2"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 2

@@ -33,7 +33,18 @@ def test_tpu_smoke_gate():
     if platforms:
         env["JAX_PLATFORMS"] = platforms
     else:
+        # Platform unset in the launch env: probe the default backend in a
+        # subprocess (this process is CPU-pinned) — a CPU-only machine must
+        # SKIP, not spend minutes failing to Mosaic-compile on CPU.
         env.pop("JAX_PLATFORMS", None)
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        backend = probe.stdout.strip().splitlines()[-1] if probe.stdout else ""
+        if probe.returncode != 0 or backend not in ("tpu", "axon"):
+            pytest.skip(f"default backend is {backend or 'unavailable'}")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "tpu_smoke.py")],
         capture_output=True, text=True, timeout=3000, cwd=REPO, env=env,
