@@ -15,12 +15,17 @@ JIT warm-up excluded, block_until_ready, repeated measurements):
 * QUALITY IS GATED, not just reported: the run fails (exit 1, "quality_ok":
   false) unless the solved reference scene lands within --quality-tol
   (default 2%) of the reference's final avg/max obstacle cost
-  (1.6370/2.1964, ref: main.py:141-143) AND satisfies the hard constraints
-  (endpoint error < eps_position = 0.01 — which the reference's own
-  flagship run does NOT: it terminates with 0.046).  The residual ~0.7%
-  avg-cost gap is the fleet engine's fp path (linearized ladder,
-  batch-trailing GEMMs); the sequential parity engine reproduces the
-  reference bitwise (tests/test_parity.py),
+  (config.REFERENCE_FINAL_COST, ref: main.py:141-143) AND satisfies the
+  hard constraints (endpoint error < eps_position = 0.01 — which the
+  reference's own flagship run does NOT: it terminates with 0.046).  The
+  residual ~0.65% avg-cost gap is the LINEARIZED ladder's fp path;
+  --ladder-eval exact evaluates candidates through the basis GEMMs like
+  the reference and lands BELOW the reference's avg cost at equal max cost
+  (ending constraint-violated like the reference — its endpoint gate is
+  the reference's own 0.046 finish plus slack).  The sequential parity
+  engine reproduces the reference bitwise (tests/test_parity.py),
+* the obstacle-slot bound defaults to the reference scene's 11 (exactly
+  the obstacle set the reference computes; zero-weight padding is exact),
 * baseline: the reference's published flagship number — 3.12 ms per solve
   on CPU (DevBlog blog-post.html:389) = 320.5 solves/s.
 
