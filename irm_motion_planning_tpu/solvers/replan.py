@@ -52,9 +52,17 @@ class Replanner:
     backend: str = "xla"
 
     def __post_init__(self):
+        if self.engine not in ("vmap", "fleet", "sequential"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+        if self.backend not in ("xla", "pallas", "fused"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        # The tick budgets REPLACE any per-round inner schedule: budget_inner
+        # is the per-round cap here, and a schedule sized for the base
+        # config's outer count would not validate against budget_outer.
         self.tick_cfg = self.cfg.replace(
             max_outer_iteration=min(self.budget_outer, self.cfg.max_outer_iteration),
             max_inner_iteration=self.budget_inner,
+            inner_schedule=None,
         )
         self.basis = make_basis(self.tick_cfg)
         self._alpha: Optional[jnp.ndarray] = None
