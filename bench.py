@@ -100,6 +100,18 @@ def main():
     p.add_argument("--quality-tol", type=float, default=0.02,
                    help="gate: allowed relative avg/max-cost excess over the "
                         "reference's final costs at this exact config")
+    p.add_argument("--random-scenarios", action="store_true",
+                   help="HETEROGENEOUS-fleet mode: every lane gets a random "
+                        "scene (random_scenarios) instead of a replica of "
+                        "the reference scene.  Lanes then freeze at "
+                        "different steps, so whole-tile freeze-skip buys "
+                        "less — this is the mixed-workload throughput "
+                        "number to quote beside the replicated-scene "
+                        "headline.  The reference-scene quality gate does "
+                        "not apply; the run reports the converged fraction "
+                        "and mean final cost of the batch instead")
+    p.add_argument("--seed", type=int, default=0,
+                   help="random-scenario seed (--random-scenarios only)")
     args = p.parse_args()
 
     if args.inner is not None:
@@ -117,7 +129,12 @@ def main():
         **sched_kw,
     )
     basis = mp.make_basis(cfg)
-    scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
+    if args.random_scenarios:
+        scns = mp.random_scenarios(
+            cfg, jax.random.PRNGKey(args.seed), args.batch
+        )
+    else:
+        scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
     if args.engine == "fleet":
         from irm_motion_planning_tpu.solvers import fleet
 
@@ -141,37 +158,77 @@ def main():
     t0 = time.time()
     warm = run_to_completion()
     compile_s = time.time() - t0
-    # Quality of lane 0 (all lanes identical): unpenalized obstacle costs +
-    # endpoint error, comparable to the reference's final report
-    # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.046 —
-    # i.e. the reference's own flagship run terminates constraint-VIOLATED).
-    scn0 = mp.reference_scenario(cfg)
-    q = mp.solution_quality(cfg, basis, scn0, warm.alpha[0])
-    avg_cost = float(q["avg_cost"])
-    max_cost = float(q["max_cost"])
-    endpoint_err = float(q["endpoint_err"])
-    ref_avg, ref_max = mp.REFERENCE_FINAL_COST[args.solver]
-    # BLS with the linearized ladder (the headline) must SATISFY the hard
-    # constraints — a strictly stronger outcome than the reference, whose
-    # flagship run terminates violated at endpoint err 0.046.  The exact
-    # ladder tracks the reference's own optimization path (measured: avg
-    # cost BETTER than the reference at equal max cost) and, like the
-    # reference, ends violated — its gate is the reference's own endpoint
-    # (0.046) plus slack.  GD — in the reference too — terminates violated
-    # (golden 0.042; ours 0.06-0.08: at the late rounds' 1e-7..1e-8
-    # learning rates the endpoint sits on a slow, fp-path-dependent
-    # manifold), so its gate is cost parity plus a loose backstop.
-    if args.solver == "bls":
-        endpoint_bound = (
-            cfg.eps_position if args.ladder_eval == "linearized" else 0.05
+    if args.random_scenarios:
+        # Heterogeneous fleet: no single reference solution to gate against;
+        # report the batch's converged fraction + mean final cost (the
+        # distributional gate lives in benchmarks/quality.py) and gate only
+        # on finiteness.
+        import numpy as np
+
+        conv_frac = float(jnp.mean(warm.stats.converged.astype(jnp.float32)))
+        mean_cost = float(jnp.mean(warm.stats.final_cost))
+        quality_ok = bool(np.isfinite(mean_cost))
+        quality_fields = {
+            "scenarios": "random",
+            "converged_frac": round(conv_frac, 4),
+            "mean_final_cost": round(mean_cost, 4),
+        }
+        quality_msg = (
+            f"random scenes: converged_frac={conv_frac:.4f} "
+            f"mean_final_cost={mean_cost:.4f}"
         )
     else:
-        endpoint_bound = 0.1
-    quality_ok = (
-        avg_cost <= ref_avg * (1.0 + args.quality_tol)
-        and max_cost <= ref_max * (1.0 + args.quality_tol)
-        and endpoint_err < endpoint_bound
-    )
+        # Quality of lane 0 (all lanes identical): unpenalized obstacle
+        # costs + endpoint error, comparable to the reference's final report
+        # (ref: main.py:141-143: avg 1.637 / max 2.196, endpoint err 0.046 —
+        # i.e. the reference's own flagship run terminates
+        # constraint-VIOLATED).
+        scn0 = mp.reference_scenario(cfg)
+        q = mp.solution_quality(cfg, basis, scn0, warm.alpha[0])
+        avg_cost = float(q["avg_cost"])
+        max_cost = float(q["max_cost"])
+        endpoint_err = float(q["endpoint_err"])
+        ref_avg, ref_max = mp.REFERENCE_FINAL_COST[args.solver]
+        # BLS with the linearized ladder (the headline) must SATISFY the
+        # hard constraints — a strictly stronger outcome than the reference,
+        # whose flagship run terminates violated at endpoint err 0.046.  The
+        # exact ladder tracks the reference's own optimization path
+        # (measured: avg cost BETTER than the reference at equal max cost)
+        # and, like the reference, ends violated — its gate is the
+        # reference's own endpoint (0.046) plus slack.  GD runs the
+        # late-round-weighted schedule (config.REFERENCE_INNER_SCHEDULE_GD,
+        # tuned round 3): measured endpoint ~0.026-0.032 — STRICTLY BETTER
+        # than the reference GD's own violated 0.042 finish (reaching
+        # eps_position is blocked by reference semantics: the late rounds'
+        # lambda*lr product turns unstable at round 9 and the 1e-3
+        # loss-reduction stop freezes lanes first).  Its gate is the
+        # reference's own 0.042: our GD must end no more violated than the
+        # reference's GD.  Pinned in tests/test_quality_gate.py.
+        if args.solver == "bls":
+            endpoint_bound = (
+                cfg.eps_position if args.ladder_eval == "linearized" else 0.05
+            )
+        else:
+            endpoint_bound = 0.042
+        quality_ok = (
+            avg_cost <= ref_avg * (1.0 + args.quality_tol)
+            and max_cost <= ref_max * (1.0 + args.quality_tol)
+            and endpoint_err < endpoint_bound
+        )
+        quality_fields = {
+            "avg_cost": round(avg_cost, 4),
+            "max_cost": round(max_cost, 4),
+            "ref_avg_cost": round(ref_avg, 4),
+            "ref_max_cost": round(ref_max, 4),
+            "endpoint_err": round(endpoint_err, 4),
+        }
+        quality_msg = (
+            f"avg_cost={avg_cost:.4f} max_cost={max_cost:.4f} "
+            f"endpoint_err={endpoint_err:.4f} "
+            f"(ref: {ref_avg:.4f}/{ref_max:.4f}; endpoint gate: "
+            f"err < {endpoint_bound} — the reference's own flagship runs "
+            f"end violated at 0.046/0.042)"
+        )
 
     times = []
     for _ in range(args.repeats):
@@ -188,23 +245,14 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline, 2),
         "quality_ok": quality_ok,
-        "avg_cost": round(avg_cost, 4),
-        "max_cost": round(max_cost, 4),
-        "ref_avg_cost": round(ref_avg, 4),
-        "ref_max_cost": round(ref_max, 4),
-        "endpoint_err": round(endpoint_err, 4),
+        **quality_fields,
     }
     print(json.dumps(result))
     print(
         f"# batch={args.batch} best={best*1000:.1f}ms "
         f"mean={1000*sum(times)/len(times):.1f}ms compile+first={compile_s:.1f}s "
         f"per-solve={1e6*best/args.batch:.1f}us "
-        f"quality[{'PASS' if quality_ok else 'FAIL'}]: "
-        f"avg_cost={avg_cost:.4f} max_cost={max_cost:.4f} "
-        f"endpoint_err={endpoint_err:.4f} "
-        f"(ref: {ref_avg:.4f}/{ref_max:.4f}; endpoint gate: "
-        f"err < {endpoint_bound} — the reference's own flagship runs end "
-        f"violated at 0.046/0.042)",
+        f"quality[{'PASS' if quality_ok else 'FAIL'}]: " + quality_msg,
         file=sys.stderr,
     )
     return 0 if quality_ok else 1

@@ -128,7 +128,10 @@ def main():
     names = list(rows)
     base = rows[names[0]]
     ok = True
-    conv_bound = max(args.tol_conv, 0.15 * base["converged_frac"])
+    # Scale the tolerance with the converged population (boundary-lane flips
+    # at the sharp eps thresholds are proportional to it) but cap the scaled
+    # term: at high convergence a double-digit-point regression must FAIL.
+    conv_bound = max(args.tol_conv, min(0.15 * base["converged_frac"], 0.05))
     for n in names[1:]:
         r = rows[n]
         if abs(r["converged_frac"] - base["converged_frac"]) > conv_bound:

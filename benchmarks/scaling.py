@@ -104,9 +104,11 @@ def spawn_local_cluster(n: int, argv) -> int:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--coordinator", f"127.0.0.1:{port}",
                "--num-processes", str(n), "--process-id", str(i)] + argv
+        # Non-zero ranks: DEVNULL, not PIPE — nothing reads their stdout
+        # before wait(), so any output past the pipe buffer would deadlock.
         procs.append(subprocess.Popen(
             cmd, env=env,
-            stdout=subprocess.PIPE if i else None,
+            stdout=subprocess.DEVNULL if i else None,
             stderr=subprocess.DEVNULL if i else None,
         ))
     rc = 0

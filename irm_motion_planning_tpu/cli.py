@@ -105,6 +105,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "see config.REFERENCE_INNER_SCHEDULE_*)")
     p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
                    default="highest")
+    p.add_argument("--ladder-eval", choices=["linearized", "exact"],
+                   default="linearized",
+                   help="How the fleet/kernel engines evaluate line-search "
+                        "candidates: linearized (fastest; exact in real "
+                        "arithmetic) or exact (through the basis GEMMs, the "
+                        "reference's fp path; see config.ladder_eval)")
+    p.add_argument("--max-obstacles", type=int, default=16,
+                   help="Static obstacle-slot bound (zero-weight padding is "
+                        "exact); 11 = exactly the reference scene's set, the "
+                        "headline benchmark default")
+    p.add_argument("--pallas-block-b", type=int, default=0,
+                   help="Lanes per Pallas kernel tile (0 = auto from the "
+                        "scoped-VMEM model; the headline uses 512)")
+    p.add_argument("--recip-newton", type=_bool, default=False,
+                   help="Refine the in-kernel approximate reciprocal with "
+                        "one Newton step (quality-gated default: off)")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="trajectory_result.txt")
@@ -124,14 +140,29 @@ def resolve_bls_mode(args) -> str:
 def resolve_inner_schedule(args):
     if getattr(args, "inner_schedule", None) is None:
         return None
+    if not args.fixed_iters:
+        # The schedule applies only in fixed_iters mode (config.py contract);
+        # accepting-and-ignoring it would contradict the "no flag is silently
+        # ignored" principle applied to --bls-mode.
+        print(
+            "error: --inner-schedule requires --fixed-iters true (the "
+            "early-exit while_loop self-schedules its inner steps)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     from . import config as cfglib
 
     if args.inner_schedule == "reference":
         name = getattr(args, "optimizer_name", "bls")
-        return {
+        sched = {
             "bls": cfglib.REFERENCE_INNER_SCHEDULE_BLS,
             "gd": cfglib.REFERENCE_INNER_SCHEDULE_GD,
-        }[name][: args.max_outer_iteration]
+        }[name]
+        if args.max_outer_iteration > len(sched):
+            # Pad by repeating the last entry instead of surfacing an opaque
+            # PlannerConfig length-mismatch traceback.
+            sched = sched + sched[-1:] * (args.max_outer_iteration - len(sched))
+        return sched[: args.max_outer_iteration]
     return tuple(int(x) for x in args.inner_schedule.split(","))
 
 
@@ -169,6 +200,10 @@ def config_from_args(args) -> "PlannerConfig":
         fixed_iters=args.fixed_iters,
         inner_schedule=resolve_inner_schedule(args),
         matmul_precision=args.matmul_precision,
+        ladder_eval=args.ladder_eval,
+        max_obstacles=args.max_obstacles,
+        pallas_block_b=args.pallas_block_b,
+        recip_newton=args.recip_newton,
     )
 
 

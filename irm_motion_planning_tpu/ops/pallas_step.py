@@ -86,17 +86,71 @@ _VMEM_DEFAULT_LIMIT = 16 << 20     # Mosaic's default scoped limit
 _VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
 
 
-def estimate_vmem_bytes(T: int, BT: int, O: int = 16) -> int:
+def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
+                        stream_rb: int = 0) -> int:
+    """Scoped-VMEM estimate for one kernel lane tile.
+
+    ``stream_rb > 0`` is the TILED-T mode (SURVEY §5.7): the (2T, T) basis
+    pair stays in HBM and only double-buffered (stream_rb, T)/(stream_rb, 2T)
+    row-block scratch is VMEM-resident, so the quadratic 24*T^2 term becomes
+    LINEAR in T — the per-(t, lane) state is then the only O(T) footprint
+    and the kernel ceiling moves from T~850 to the multi-thousands."""
+    if stream_rb:
+        basis = 24 * stream_rb * T  # 2x dbl-buffered (RB,T)+(RB,2T) blocks
+    else:
+        basis = _VMEM_BYTES_PER_T2 * T * T
     return (
         _VMEM_BYTES_PER_ELT * T * BT
-        + _VMEM_BYTES_PER_T2 * T * T
+        + basis
         + _VMEM_BYTES_PER_OBSTACLE * O * BT
         + _VMEM_FIXED
     )
 
 
+def choose_stream_rb(T: int) -> int:
+    """Row-block height for the streamed basis contraction: the largest
+    divisor of T that is a multiple of 8 (Mosaic sublane packing) and at
+    most 256 rows.  0 if T has no such divisor (streaming unavailable)."""
+    best = 0
+    for rb in range(8, min(T, 256) + 1, 8):
+        if T % rb == 0:
+            best = rb
+    return best
+
+
+class KernelPlan(NamedTuple):
+    """How the kernel backends run one problem size: lane-tile width plus
+    the basis residency mode (stream_rb=0: (2T,T) basis pair VMEM-resident;
+    stream_rb>0: basis streamed from HBM in row blocks — tiled-T mode)."""
+
+    block_b: int
+    stream_rb: int = 0
+
+
+def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
+    """Kernel execution plan, or None if even streaming cannot fit.
+
+    Preference order: VMEM-resident basis (fastest — no DMA in the inner
+    loop) at the largest feasible lane tile, then the streamed/tiled-T mode
+    (the O(T^2) term drops out; the remaining footprint is linear in T),
+    then None — fleet_solve falls back to the XLA backend."""
+    bb = choose_block_b(cfg, T, B)
+    if bb is not None:
+        return KernelPlan(bb, 0)
+    rb = choose_stream_rb(T)
+    if rb:
+        O = cfg.max_obstacles
+        for bt in (512, 256, 128):
+            if B % bt == 0 and (
+                estimate_vmem_bytes(T, bt, O, stream_rb=rb)
+                <= int(_VMEM_RAISED_CAP / 1.5)
+            ):
+                return KernelPlan(bt, rb)
+    return None
+
+
 def choose_block_b(cfg: PlannerConfig, T: int, B: int):
-    """Lane-tile width for the kernel backends, or None if infeasible.
+    """VMEM-resident-basis lane-tile width, or None if infeasible.
 
     An explicit cfg.pallas_block_b is honored (128-lane fallback when it
     does not divide the batch — the pre-auto behavior); 0 selects the
@@ -104,33 +158,81 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
     (the limit is set to 2x the estimate, see _compiler_params)."""
     O = cfg.max_obstacles
     if cfg.pallas_block_b:
-        if B % cfg.pallas_block_b == 0:
-            return cfg.pallas_block_b
-        return 128 if B % 128 == 0 else None
+        import warnings
+
+        bt = cfg.pallas_block_b
+        if B % bt != 0:
+            # Substituting a different tile changes performance; never do it
+            # silently (the XLA fallback below warns the same way).
+            bt = 128 if B % 128 == 0 else None
+            warnings.warn(
+                f"pallas_block_b={cfg.pallas_block_b} does not divide the "
+                f"batch {B}; falling back to block_b={bt}",
+                stacklevel=2,
+            )
+            if bt is None:
+                return None
+        need = estimate_vmem_bytes(T, bt, O)
+        if need > _VMEM_RAISED_CAP:
+            # An explicit tile is honored, but an estimate past the raised
+            # VMEM cap will almost certainly fail Mosaic allocation — say so
+            # up front instead of surfacing an opaque compile error.
+            warnings.warn(
+                f"explicit pallas_block_b={bt} scopes an estimated "
+                f"{need >> 20} MiB of VMEM at T={T} — past the raised cap "
+                f"({_VMEM_RAISED_CAP >> 20} MiB); expect a Mosaic "
+                "allocation failure",
+                stacklevel=2,
+            )
+        return bt
     for bt in (512, 256, 128):
         if B % bt == 0 and estimate_vmem_bytes(T, bt, O) <= _VMEM_RAISED_CAP // 2:
             return bt
     return None
 
 
-def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool):
+def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
+                     stream_rb: int = 0):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
-    freely; the scoped-VMEM limit is raised when the estimate needs it."""
+    freely; the scoped-VMEM limit is raised when the estimate needs it
+    (2x headroom resident, 1.5x streamed — the streamed estimate has no
+    quadratic term left to be wrong about)."""
     if interpret:
         return None
-    need = estimate_vmem_bytes(T, BT, cfg.max_obstacles)
+    need = estimate_vmem_bytes(T, BT, cfg.max_obstacles, stream_rb=stream_rb)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
-        kw["vmem_limit_bytes"] = int(min(2 * need, _VMEM_RAISED_CAP))
+        factor = 1.5 if stream_rb else 2.0
+        kw["vmem_limit_bytes"] = int(min(factor * need, _VMEM_RAISED_CAP))
     return pltpu.CompilerParams(**kw)
+
+
+class _BasisHandles(NamedTuple):
+    """The basis pair as the kernel body sees it.
+
+    Resident mode (stream_rb=0): ``kv``/``kvt`` are VMEM-loaded (2T, T) /
+    (T, 2T) values; scratch fields are None.  Streamed/tiled-T mode: they
+    are ANY-space (HBM) refs and the contractions run through the
+    double-buffered row-block scratch (see _Body._streamed_matmul)."""
+
+    kv: object
+    kvt: object
+    kv_scratch: object = None    # (2, RB, T) VMEM
+    kvt_scratch: object = None   # (2, RB, 2T) VMEM
+    kv_sem: object = None        # DMA semaphores (2,)
+    kvt_sem: object = None
 
 
 class _Body:
     """Static-config kernel code shared by both kernels."""
 
-    def __init__(self, cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
+    def __init__(self, cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
+                 stream_rb: int = 0):
         self.cfg, self.T, self.J, self.O, self.BT = cfg, T, J, O, BT
+        self.stream_rb = stream_rb
+        if stream_rb:
+            assert T % stream_rb == 0, (T, stream_rb)
         self.link = [float(l) for l in cfg.link_length]
         self.mean_jp = 0.5 * (cfg.max_joint_position + cfg.min_joint_position)
         self.std_jp = 0.5 * (cfg.max_joint_position - self.mean_jp)
@@ -157,11 +259,44 @@ class _Body:
     def _dot(self, a, b):
         return _dot(a, b, precision=self.prec)
 
+    def _streamed_matmul(self, ref, scratch, sem, n_rows, rhs_list):
+        """outs[k] = ref @ rhs_list[k] with ``ref`` an HBM/ANY-space
+        (n_rows, K) ref, streamed in (stream_rb, K) row blocks through the
+        double-buffered VMEM ``scratch`` — the next block's DMA overlaps the
+        current block's MXU dots, and one pass over ref serves ALL rhs
+        operands (the J joint planes).  Output rows are independent dot
+        products, so the blocked result is bitwise-equal to the resident
+        single-dot result (tests/test_fleet_fused.py pins this)."""
+        RB = self.stream_rb
+        nblk = n_rows // RB
+
+        def dma(slot, i):
+            return pltpu.make_async_copy(
+                ref.at[pl.ds(i * RB, RB), :], scratch.at[slot], sem.at[slot]
+            )
+
+        dma(0, 0).start()
+        outs = [[] for _ in rhs_list]
+        for i in range(nblk):
+            slot = i % 2
+            if i + 1 < nblk:
+                dma(1 - slot, i + 1).start()
+            dma(slot, i).wait()
+            blk = scratch[slot]
+            for k, rhs in enumerate(rhs_list):
+                outs[k].append(self._dot(blk, rhs))
+        return [jnp.concatenate(o, axis=0) for o in outs]
+
     # --- forward pieces (lists of (T, BT) planes) ---
 
-    def forward_planes(self, kv, mix, planes):
+    def forward_planes(self, bas: _BasisHandles, mix, planes):
         T, J = self.T, self.J
-        raw = [self._dot(kv, planes[j]) for j in range(J)]     # J x (2T, BT)
+        if self.stream_rb:
+            raw = self._streamed_matmul(
+                bas.kv, bas.kv_scratch, bas.kv_sem, 2 * T, planes
+            )                                                  # J x (2T, BT)
+        else:
+            raw = [self._dot(bas.kv, planes[j]) for j in range(J)]
         out_t, out_v = [], []
         for i in range(J):
             acc = raw[0] * mix[0, i]
@@ -250,17 +385,17 @@ class _Body:
             jvc = jvc + jnp.sum(vl_, axis=0, keepdims=True) * self.inv_T
         return toc + lam_sg * (sgpc + sgvc) + lam_jl * (jpc + jvc)
 
-    def cost_grad_eval(self, kv, kvt, mix, alpha, start, goal,
+    def cost_grad_eval(self, bas: _BasisHandles, mix, alpha, start, goal,
                        ox, oy, ow, lam_sg, lam_jl):
         """Fused loss/grad/eval at alpha planes.  Returns
         (loss (1, BT), grad planes, traj planes, vel planes)."""
-        nt, nv = self.forward_planes(kv, mix, alpha)
+        nt, nv = self.forward_planes(bas, mix, alpha)
         loss, grad = self.cost_grad_from_traj(
-            kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
+            bas, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
         )
         return loss, grad, nt, nv
 
-    def cost_grad_from_traj(self, kvt, mix, nt, nv, start, goal,
+    def cost_grad_from_traj(self, bas: _BasisHandles, mix, nt, nv, start, goal,
                             ox, oy, ow, lam_sg, lam_jl):
         """Fused loss + alpha-gradient given an already-evaluated
         (traj, vel).  The RKHS evaluation is LINEAR in alpha, so callers
@@ -354,10 +489,16 @@ class _Body:
             grad_vel.append(lam_sg * sgv + lam_jl * jv)
 
         grad = []
-        pulled = [
-            self._dot(kvt, jnp.concatenate([grad_pos[j], grad_vel[j]], axis=0))
+        stacked = [
+            jnp.concatenate([grad_pos[j], grad_vel[j]], axis=0)
             for j in range(J)
         ]
+        if self.stream_rb:
+            pulled = self._streamed_matmul(
+                bas.kvt, bas.kvt_scratch, bas.kvt_sem, T, stacked
+            )
+        else:
+            pulled = [self._dot(bas.kvt, s) for s in stacked]
         for j in range(J):
             acc = pulled[0] * mix[j, 0]
             for i in range(1, J):
@@ -366,7 +507,7 @@ class _Body:
         return loss, grad
 
 
-def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
+def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
               start, goal, ox, oy, ow, lam_sg, lam_jl,
               alpha, grad, traj, vel, loss, bls_lr, minimized):
     """One BLS inner step on plane tuples (pure arrays, no refs): normalized
@@ -396,7 +537,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     linearized = cfg.ladder_eval == "linearized"
     if linearized:
         # evaluate the search direction once (evaluation is linear in alpha)
-        gtraj, gvel = body.forward_planes(kv, mix, n_grad)
+        gtraj, gvel = body.forward_planes(bas, mix, n_grad)
 
         # (1 - reg*lr)*x - lr*g == x - lr*(reg*x + g): hoist the combined
         # direction so each ladder rung pays one mul+sub per plane, not two
@@ -423,7 +564,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
             # (ref: optimizer_BLS.py:139; config.ladder_eval).
             a_fac_r = 1.0 - cfg.lambda_reg * lr_r
             cand_a = [a_fac_r * alpha[j] - lr_r * n_grad[j] for j in range(J)]
-            cand_t, cand_v = body.forward_planes(kv, mix, cand_a)
+            cand_t, cand_v = body.forward_planes(bas, mix, cand_a)
         ee_x, ee_y, _, _ = body.fk_ee(cand_t)
         cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
         closs = body.scalar_cost(
@@ -473,9 +614,9 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
         nt = [traj[j] - lr_eff * dir_t[j] for j in range(J)]
         nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
     else:
-        nt, nv = body.forward_planes(kv, mix, new_alpha)
+        nt, nv = body.forward_planes(bas, mix, new_alpha)
     nloss, ngrad = body.cost_grad_from_traj(
-        kvt, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
+        bas, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
     )
 
     out_alpha = [jnp.where(frozen, alpha[j], new_alpha[j]) for j in range(J)]
@@ -491,7 +632,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     return out_alpha, out_grad, out_traj, out_vel, out_loss, out_lr, new_min
 
 
-def _gd_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
+def _gd_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
              start, goal, ox, oy, ow, lam_sg, lam_jl,
              alpha, grad, traj, vel, loss, lr, minimized):
     """One GD inner step on plane tuples (ref: optimizer_GD.py:184-194: the
@@ -502,7 +643,7 @@ def _gd_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     a_fac = 1.0 - cfg.lambda_reg * lr
     trial = [a_fac * alpha[j] - lr * grad[j] for j in range(J)]
     nloss, ngrad, nt, nv = body.cost_grad_eval(
-        kv, kvt, mix, trial, start, goal, ox, oy, ow, lam_sg, lam_jl
+        bas, mix, trial, start, goal, ox, oy, ow, lam_sg, lam_jl
     )
     stop = (loss - nloss) < cfg.loop_loss_reduction
     keep = jnp.logical_or(frozen, stop)
@@ -515,8 +656,9 @@ def _gd_step(body: "_Body", cfg: PlannerConfig, kv, kvt, mix,
     return out_alpha, out_grad, out_traj, out_vel, out_loss, lr, new_min
 
 
-def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
-    body = _Body(cfg, T, J, O, BT)
+def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
+                      stream_rb: int = 0):
+    body = _Body(cfg, T, J, O, BT, stream_rb)
     n = cfg.max_bls_iteration
 
     def kernel(
@@ -526,6 +668,7 @@ def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
         start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
         new_alpha_ref, new_grad_ref, new_traj_ref, new_vel_ref,
         new_loss_ref, new_lr_ref, new_min_ref,
+        *scratch,
     ):
         frozen = minimized_ref[:] > 0.5           # (1, BT)
         tile_live = jnp.any(jnp.logical_not(frozen))
@@ -547,7 +690,8 @@ def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
         @pl.when(tile_live)
         def _step():
             a, g, t, v, lo, lr, mn = _bls_step(
-                body, cfg, kv_ref[:], kvt_ref[:], mix_ref[:],
+                body, cfg, _bind_basis(body, kv_ref, kvt_ref, scratch),
+                mix_ref[:],
                 start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
                 lamsg_ref[:], lamjl_ref[:],
                 [alpha_ref[j] for j in range(J)],
@@ -568,12 +712,13 @@ def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
     return kernel
 
 
-def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
+def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
+                         stream_rb: int = 0):
     """One fused GD inner step (ref: optimizer_GD.py:184-194): trial update
     from the carried gradient, fused cost/grad/eval at the trial point,
     loss-reduction stop test (rejecting the trial on stop), in-kernel lane
     freezing."""
-    body = _Body(cfg, T, J, O, BT)
+    body = _Body(cfg, T, J, O, BT, stream_rb)
 
     def kernel(
         kv_ref, kvt_ref, mix_ref,
@@ -582,9 +727,11 @@ def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
         start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
         new_alpha_ref, new_grad_ref, new_traj_ref, new_vel_ref,
         new_loss_ref, new_lr_ref, new_min_ref,
+        *scratch,
     ):
         a, g, t, v, lo, lr, mn = _gd_step(
-            body, cfg, kv_ref[:], kvt_ref[:], mix_ref[:],
+            body, cfg, _bind_basis(body, kv_ref, kvt_ref, scratch),
+            mix_ref[:],
             start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
             lamsg_ref[:], lamjl_ref[:],
             [alpha_ref[j] for j in range(J)],
@@ -605,7 +752,9 @@ def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_b", "stream_rb", "interpret")
+)
 def gd_inner_step(
     cfg: PlannerConfig,
     kv, kvt, mix,
@@ -615,6 +764,7 @@ def gd_inner_step(
     start, goal,                   # (J, B)
     ox, oy, ow,                    # (O, B)
     block_b: int = 128,
+    stream_rb: int = 0,
     interpret: bool = False,
 ) -> "PallasStep":
     """One fused GD inner step over the whole fleet (ref:
@@ -625,13 +775,13 @@ def gd_inner_step(
     O = ox.shape[0]
     BT = block_b
     assert B % BT == 0
-    kernel = _make_gd_step_kernel(cfg, T, J, O, BT)
+    kernel = _make_gd_step_kernel(cfg, T, J, O, BT, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
         grid=(B // BT,),
-        in_specs=[
-            full((2 * T, T)), full((T, 2 * T)), full((J, J)),
+        in_specs=_basis_specs(T, stream_rb, full) + [
+            full((J, J)),
             lanes3(J, T), lanes3(J, T), lanes3(J, T), lanes3(J, T),
             lanes2(1), lanes2(1), lanes2(1), lanes2(1), lanes2(1),
             lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
@@ -649,24 +799,27 @@ def gd_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
+        scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
     )(kv, kvt, mix, alpha, grad, traj, vel, loss, lr, minimized,
       lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasStep(*outs)
 
 
-def _make_eval_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int):
-    body = _Body(cfg, T, J, O, BT)
+def _make_eval_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
+                      stream_rb: int = 0):
+    body = _Body(cfg, T, J, O, BT, stream_rb)
 
     def kernel(
         kv_ref, kvt_ref, mix_ref, alpha_ref, lamsg_ref, lamjl_ref,
         start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
         loss_ref, grad_ref, traj_ref, vel_ref,
+        *scratch,
     ):
         alpha = [alpha_ref[j] for j in range(J)]
         loss, grad, nt, nv = body.cost_grad_eval(
-            kv_ref[:], kvt_ref[:], mix_ref[:], alpha,
+            _bind_basis(body, kv_ref, kvt_ref, scratch), mix_ref[:], alpha,
             start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
             lamsg_ref[:], lamjl_ref[:],
         )
@@ -695,6 +848,35 @@ def _specs(T, J, O, BT):
     return full, lanes3, lanes2
 
 
+def _basis_specs(T, stream_rb, full):
+    """in_specs for (kv, kvt): VMEM-resident blocks, or ANY-space (HBM) refs
+    in streamed/tiled-T mode (the kernel DMAs row blocks itself)."""
+    if stream_rb:
+        return [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    return [full((2 * T, T)), full((T, 2 * T))]
+
+
+def _stream_scratch_shapes(T, stream_rb):
+    """Double-buffered row-block scratch + DMA semaphores for the streamed
+    basis contraction (empty in resident mode)."""
+    if not stream_rb:
+        return []
+    return [
+        pltpu.VMEM((2, stream_rb, T), jnp.float32),
+        pltpu.VMEM((2, stream_rb, 2 * T), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _bind_basis(body, kv_ref, kvt_ref, scratch):
+    if body.stream_rb:
+        kv_s, kvt_s, kv_sem, kvt_sem = scratch
+        return _BasisHandles(kv_ref, kvt_ref, kv_s, kvt_s, kv_sem, kvt_sem)
+    return _BasisHandles(kv_ref[:], kvt_ref[:])
+
+
 class PallasStep(NamedTuple):
     new_alpha: jnp.ndarray  # (J, T, B)
     new_grad: jnp.ndarray
@@ -705,7 +887,9 @@ class PallasStep(NamedTuple):
     minimized: jnp.ndarray  # (1, B) f32 0/1 — sticky stop flag
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_b", "stream_rb", "interpret")
+)
 def bls_inner_step(
     cfg: PlannerConfig,
     kv, kvt, mix,
@@ -715,6 +899,7 @@ def bls_inner_step(
     start, goal,                   # (J, B)
     ox, oy, ow,                    # (O, B)
     block_b: int = 128,
+    stream_rb: int = 0,
     interpret: bool = False,
 ) -> PallasStep:
     """One fused BLS inner step over the whole fleet (grid over B tiles).
@@ -723,13 +908,13 @@ def bls_inner_step(
     O = ox.shape[0]
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
-    kernel = _make_step_kernel(cfg, T, J, O, BT)
+    kernel = _make_step_kernel(cfg, T, J, O, BT, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
         grid=(B // BT,),
-        in_specs=[
-            full((2 * T, T)), full((T, 2 * T)), full((J, J)),
+        in_specs=_basis_specs(T, stream_rb, full) + [
+            full((J, J)),
             lanes3(J, T), lanes3(J, T), lanes3(J, T), lanes3(J, T),
             lanes2(1), lanes2(1), lanes2(1), lanes2(1), lanes2(1),
             lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
@@ -747,8 +932,9 @@ def bls_inner_step(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
+        scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
     )(
         kv, kvt, mix, alpha, grad, traj, vel,
         loss, bls_lr, minimized, lam_sg, lam_jl, start, goal, ox, oy, ow,
@@ -757,7 +943,7 @@ def bls_inner_step(
 
 
 def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
-                       solver: str):
+                       solver: str, stream_rb: int = 0):
     """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
     optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
     runs inside one kernel per lane tile — per-round fused re-evaluation,
@@ -766,7 +952,7 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     traffic is exactly: read the warm start + scenario once, write the final
     state once (vs. a full state round-trip per inner step for the per-step
     kernel ladder)."""
-    body = _Body(cfg, T, J, O, BT)
+    body = _Body(cfg, T, J, O, BT, stream_rb)
     rounds = cfg.max_outer_iteration
     inner_n = cfg.max_inner_iteration
     inc = float(cfg.lambda_constraint_increase)
@@ -827,8 +1013,10 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
         out_alpha_ref, out_loss_ref, out_ful_ref, out_outer_ref,
         out_inner_ref,
+        *scratch,
     ):
-        kv, kvt, mix = kv_ref[:], kvt_ref[:], mix_ref[:]
+        bas = _bind_basis(body, kv_ref, kvt_ref, scratch)
+        mix = mix_ref[:]
         start, goal = start_ref[:], goal_ref[:]
         ox, oy, ow = ox_ref[:], oy_ref[:], ow_ref[:]
         zeros = jnp.zeros((1, BT), jnp.float32)
@@ -837,7 +1025,7 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             alpha, lam_sg, lam_jl, fulfilled, outer, icnt, floss = op
             # per-round fused re-evaluation under the current penalties
             loss, grad, traj, vel = body.cost_grad_eval(
-                kv, kvt, mix, list(alpha), start, goal, ox, oy, ow,
+                bas, mix, list(alpha), start, goal, ox, oy, ow,
                 lam_sg, lam_jl,
             )
             if solver == "bls":
@@ -862,7 +1050,7 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                 def do(sx):
                     alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
                     a, g, t, v, lo, nlr, mn = step_fn(
-                        body, cfg, kv, kvt, mix, start, goal, ox, oy, ow,
+                        body, cfg, bas, mix, start, goal, ox, oy, ow,
                         lam_sg, lam_jl,
                         list(alpha), list(grad), list(traj), list(vel),
                         loss, lr, minimized,
@@ -931,7 +1119,8 @@ class PallasSolve(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "solver", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "solver", "block_b", "stream_rb", "interpret"),
 )
 def fused_solve(
     cfg: PlannerConfig,
@@ -942,21 +1131,24 @@ def fused_solve(
     ox, oy, ow,                    # (O, B)
     solver: str = "bls",
     block_b: int = 128,
+    stream_rb: int = 0,
     interpret: bool = False,
 ) -> PallasSolve:
     """The whole penalty-method solve as ONE kernel launch over the fleet
-    (grid over lane tiles; all state VMEM-resident for the full solve)."""
+    (grid over lane tiles; all state VMEM-resident for the full solve —
+    except the basis pair in streamed/tiled-T mode, which stays in HBM and
+    is row-block-DMAed through scratch)."""
     J, T, B = a0.shape
     O = ox.shape[0]
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
-    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver)
+    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
         grid=(B // BT,),
-        in_specs=[
-            full((2 * T, T)), full((T, 2 * T)), full((J, J)),
+        in_specs=_basis_specs(T, stream_rb, full) + [
+            full((J, J)),
             lanes3(J, T), lanes2(1), lanes2(1),
             lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
         ],
@@ -970,8 +1162,9 @@ def fused_solve(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
+        scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -983,7 +1176,9 @@ class PallasEval(NamedTuple):
     vel: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_b", "stream_rb", "interpret")
+)
 def cost_grad_eval(
     cfg: PlannerConfig,
     kv, kvt, mix,
@@ -992,6 +1187,7 @@ def cost_grad_eval(
     start, goal,                   # (J, B)
     ox, oy, ow,                    # (O, B)
     block_b: int = 128,
+    stream_rb: int = 0,
     interpret: bool = False,
 ) -> PallasEval:
     """Fused cost/gradient/evaluation at alpha (kernel layout)."""
@@ -999,13 +1195,13 @@ def cost_grad_eval(
     O = ox.shape[0]
     BT = block_b
     assert B % BT == 0
-    kernel = _make_eval_kernel(cfg, T, J, O, BT)
+    kernel = _make_eval_kernel(cfg, T, J, O, BT, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
         grid=(B // BT,),
-        in_specs=[
-            full((2 * T, T)), full((T, 2 * T)), full((J, J)),
+        in_specs=_basis_specs(T, stream_rb, full) + [
+            full((J, J)),
             lanes3(J, T), lanes2(1), lanes2(1),
             lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
         ],
@@ -1018,7 +1214,8 @@ def cost_grad_eval(
             jax.ShapeDtypeStruct((J, T, B), jnp.float32),
             jax.ShapeDtypeStruct((J, T, B), jnp.float32),
         ),
+        scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
     )(kv, kvt, mix, alpha, lam_sg, lam_jl, start, goal, ox, oy, ow)
     return PallasEval(*outs)

@@ -471,7 +471,7 @@ class _PallasOuter(NamedTuple):
 
 def _pallas_fused_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
-    solver: str = "bls", interpret: bool = False,
+    solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
 ) -> SolveResult:
     """The whole dual solve as ONE VMEM-resident kernel launch (see
     ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
@@ -485,7 +485,8 @@ def _pallas_fused_solve(
         jnp.full((1, B), cfg.lambda_jl_constraint, jnp.float32),
         scn.start, scn.goal,
         scn.obstacles[:, 0, :], scn.obstacles[:, 1, :], scn.obstacle_weight,
-        solver=solver, block_b=block_b, interpret=interpret,
+        solver=solver, block_b=block_b, stream_rb=stream_rb,
+        interpret=interpret,
     )
     return SolveResult(
         alpha=alpha_from_fleet(jnp.moveaxis(out.alpha, 0, 1)),
@@ -500,7 +501,7 @@ def _pallas_fused_solve(
 
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
-    solver: str = "bls", interpret: bool = False,
+    solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
@@ -525,7 +526,7 @@ def _pallas_solve(
         ev = pallas_step.cost_grad_eval(
             cfg, basis.kv, kvt, basis.mix, alpha,
             lam_sg[None], lam_jl[None], scn.start, scn.goal, ox, oy, ow,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, stream_rb=stream_rb, interpret=interpret,
         )
         minimized0 = skip.astype(jnp.float32)[None]
         if solver == "bls":
@@ -549,7 +550,7 @@ def _pallas_solve(
                 cfg, basis.kv, kvt, basis.mix, al, gr, tr, ve,
                 lo, lr, mn, lam_sg[None], lam_jl[None],
                 scn.start, scn.goal, ox, oy, ow,
-                block_b=block_b, interpret=interpret,
+                block_b=block_b, stream_rb=stream_rb, interpret=interpret,
             )
             stepped = jnp.logical_and(mn[0] < 0.5, out.minimized[0] < 0.5)
             return (
@@ -748,18 +749,19 @@ def fleet_solve(
     if backend in ("pallas", "fused"):
         from ..ops import pallas_step
 
-        block_b = pallas_step.choose_block_b(cfg, cfg.n_timesteps, B)
-        if block_b is None:
+        plan = pallas_step.choose_kernel_plan(cfg, cfg.n_timesteps, B)
+        if plan is None:
             # Kernel backends infeasible (scoped-VMEM model says even a
-            # 128-lane tile would blow the raised cap, or the batch has no
-            # legal tiling): fall back to the HBM-resident XLA engine, which
-            # handles any problem size.
+            # 128-lane tile with the streamed basis would blow the raised
+            # cap, or the batch has no legal tiling): fall back to the
+            # HBM-resident XLA engine, which handles any problem size.
             import warnings
 
             warnings.warn(
                 f"pallas backends infeasible for T={cfg.n_timesteps}, "
-                f"B={B} (scoped-VMEM estimate over cap or no legal lane "
-                f"tile); falling back to backend='xla'",
+                f"B={B} (scoped-VMEM estimate over cap even with the "
+                f"streamed basis, or no legal lane tile); falling back to "
+                f"backend='xla'",
                 stacklevel=2,
             )
             backend = "xla"
@@ -768,7 +770,8 @@ def fleet_solve(
             solve_impl = (
                 _pallas_fused_solve if backend == "fused" else _pallas_solve
             )
-            return solve_impl(cfg, basis, fs, a0k, block_b, solver=solver,
+            return solve_impl(cfg, basis, fs, a0k, plan.block_b,
+                              solver=solver, stream_rb=plan.stream_rb,
                               interpret=interpret)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)

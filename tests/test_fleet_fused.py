@@ -135,6 +135,78 @@ def test_exact_ladder_parity_across_kernels(setup):
     )
 
 
+def _kernel_args(cfg, basis, scns):
+    import jax.numpy as jnp
+
+    fs = fleet.to_fleet(scns)
+    a0 = jnp.moveaxis(fleet.fleet_init_alpha(cfg, basis, fs), 1, 0)
+    B = a0.shape[-1]
+    return (
+        cfg, basis.kv, basis.kv.T, basis.mix, a0,
+        jnp.full((1, B), cfg.lambda_sg_constraint, jnp.float32),
+        jnp.full((1, B), cfg.lambda_jl_constraint, jnp.float32),
+        fs.start, fs.goal,
+        fs.obstacles[:, 0, :], fs.obstacles[:, 1, :], fs.obstacle_weight,
+    )
+
+
+@pytest.mark.parametrize("solver", ["bls", "gd"])
+def test_streamed_basis_bitwise_matches_resident(setup, solver):
+    """Tiled-T mode (basis streamed from HBM in row blocks, SURVEY §5.7):
+    output rows of the blocked contraction are the same full-length dot
+    products as the resident single dot, so the whole solve must be
+    BITWISE identical to the resident kernel."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg, basis, scns = setup
+    scns16 = jax.tree_util.tree_map(lambda x: x[:16], scns)
+    args = _kernel_args(cfg, basis, scns16)
+    r0 = ps.fused_solve(*args, solver=solver, block_b=16, stream_rb=0,
+                        interpret=True)
+    r1 = ps.fused_solve(*args, solver=solver, block_b=16, stream_rb=10,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(r0.alpha), np.asarray(r1.alpha))
+    np.testing.assert_array_equal(
+        np.asarray(r0.final_loss), np.asarray(r1.final_loss)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r0.inner_iters), np.asarray(r1.inner_iters)
+    )
+
+
+def test_streamed_eval_kernel_bitwise(setup):
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg, basis, scns = setup
+    (cfg, kv, kvt, mix, a0, lsg, ljl, start, goal, ox, oy, ow) = _kernel_args(
+        cfg, basis, jax.tree_util.tree_map(lambda x: x[:16], scns)
+    )
+    e0 = ps.cost_grad_eval(cfg, kv, kvt, mix, a0, lsg, ljl, start, goal,
+                           ox, oy, ow, block_b=16, stream_rb=0, interpret=True)
+    e1 = ps.cost_grad_eval(cfg, kv, kvt, mix, a0, lsg, ljl, start, goal,
+                           ox, oy, ow, block_b=16, stream_rb=25, interpret=True)
+    for f0, f1 in zip(e0, e1):
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_kernel_plan_selection():
+    """Resident preferred when it fits; streaming takes over at large T
+    (where round 2 fell back to XLA); None only past the streamed ceiling."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    auto = mp.PlannerConfig(pallas_block_b=0)
+    assert ps.choose_kernel_plan(auto, 50, 4096) == ps.KernelPlan(512, 0)
+    assert ps.choose_kernel_plan(auto, 500, 4096) == ps.KernelPlan(128, 0)
+    # T=800 was round 2's XLA-fallback wall; now streamed.
+    p800 = ps.choose_kernel_plan(auto, 800, 4096)
+    assert p800 is not None and p800.stream_rb > 0
+    p1000 = ps.choose_kernel_plan(auto, 1000, 4096)
+    assert p1000 is not None and p1000.stream_rb > 0
+    assert 1000 % p1000.stream_rb == 0 and p1000.stream_rb % 8 == 0
+    # Far past the streamed per-lane-state ceiling: infeasible.
+    assert ps.choose_kernel_plan(auto, 4096, 4096) is None
+
+
 def test_inner_schedule_ignored_when_early_exit(setup):
     """config contract: inner_schedule only applies with fixed_iters=True.
     In early-exit mode every backend must produce the same result with and

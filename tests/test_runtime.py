@@ -93,14 +93,20 @@ def test_replanner_warm_start_and_moving_obstacles(setup):
         costs.append(float(mp.total_cost(rp.tick_cfg, rp.basis, moved, pen, rk.alpha)))
     assert rp._solve_jit._cache_size() == 1  # no recompiles across ticks
     assert all(np.isfinite(costs))
-    # warm start pays off: a fresh solve with the same tiny budget from the
-    # smoothstep init should not beat the warm-started tick 3 materially
-    rp2 = Replanner(cfg, budget_outer=2, budget_inner=15)
+    # Warm starts are the replanner's reason to exist: replan the FINAL
+    # scene once more warm (the carried alpha already solves it) vs a fresh
+    # replanner solving the same scene cold from the smoothstep init under
+    # the same budget.  The warm tick must converge in strictly fewer inner
+    # iterations AND not land on a worse solution.
     moved = scn._replace(obstacles=scn.obstacles + 0.15)
-    r_cold = rp2.plan(moved)
+    r_warm = rp.plan(moved)
+    rp_cold = Replanner(cfg, budget_outer=2, budget_inner=15)
+    r_cold = rp_cold.plan(moved)
+    assert int(r_warm.stats.inner_iters) < int(r_cold.stats.inner_iters)
     pen = mp.initial_penalty(rp.tick_cfg)
-    c_cold = float(mp.total_cost(rp.tick_cfg, rp2.basis, moved, pen, r_cold.alpha))
-    assert costs[-1] < c_cold * 1.10
+    c_warm = float(mp.total_cost(rp.tick_cfg, rp.basis, moved, pen, r_warm.alpha))
+    c_cold = float(mp.total_cost(rp.tick_cfg, rp_cold.basis, moved, pen, r_cold.alpha))
+    assert c_warm < c_cold * 1.02
 
 
 def test_replanner_batched(setup):

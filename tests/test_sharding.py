@@ -75,6 +75,28 @@ def test_shard_map_fleet_bitwise_matches_per_shard(cfg, eight_mesh):
     np.testing.assert_array_equal(np.asarray(res.alpha), local)
 
 
+def test_shard_map_fleet_fused_bitwise_matches_per_shard(cfg, eight_mesh):
+    """shard_map x the fused whole-solve pallas_call (the HEADLINE backend;
+    interpret mode — Mosaic needs real TPUs) == per-shard local fused runs,
+    bitwise.  The fused kernel's output structure (alpha planes + four
+    scalar-row stats) partitions differently from the per-step kernel, so it
+    needs its own multi-chip coverage."""
+    fcfg = cfg.replace(pallas_block_b=2)  # per-shard lane tile (16 / 8 lanes)
+    basis = mp.make_basis(fcfg)
+    scns = mp.random_scenarios(fcfg, jax.random.PRNGKey(2), 16)
+    run = sharded.make_shard_map_solver(fcfg, basis, eight_mesh,
+                                        engine="fleet", backend="fused",
+                                        interpret=True)
+    res, stats = run(meshlib.shard_batch(eight_mesh, scns))
+    assert int(stats["n_total"]) == 16
+    solver = jax.jit(
+        lambda b, s: fleet.fleet_solve(fcfg, b, s, backend="fused",
+                                       interpret=True)
+    )
+    local = _per_shard_local(lambda s: solver(basis, s), scns, 16, 8)
+    np.testing.assert_array_equal(np.asarray(res.alpha), local)
+
+
 def test_shard_map_collective_stats(cfg, eight_mesh):
     basis = mp.make_basis(cfg)
     scns = mp.random_scenarios(cfg, jax.random.PRNGKey(1), 16)
