@@ -108,14 +108,15 @@ def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
 
 
 def choose_stream_rb(T: int) -> int:
-    """Row-block height for the streamed basis contraction: the largest
-    divisor of T that is a multiple of 8 (Mosaic sublane packing) and at
-    most 256 rows.  0 if T has no such divisor (streaming unavailable)."""
+    """Default row-block height for the streamed basis contraction: prefer
+    an exact divisor of T that is a multiple of 8 (no remainder block), up
+    to 256 rows; otherwise plain 256 (the streamed matmul handles a smaller
+    final block)."""
     best = 0
     for rb in range(8, min(T, 256) + 1, 8):
         if T % rb == 0:
             best = rb
-    return best
+    return best if best else min(((T + 7) // 8) * 8, 256)
 
 
 class KernelPlan(NamedTuple):
@@ -137,11 +138,12 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
     bb = choose_block_b(cfg, T, B)
     if bb is not None:
         return KernelPlan(bb, 0)
-    rb = choose_stream_rb(T)
-    if rb:
-        O = cfg.max_obstacles
-        for bt in (512, 256, 128):
-            if B % bt == 0 and (
+    O = cfg.max_obstacles
+    for bt in (512, 256, 128):
+        if B % bt != 0:
+            continue
+        for rb in (choose_stream_rb(T), 128, 64):
+            if rb and (
                 estimate_vmem_bytes(T, bt, O, stream_rb=rb)
                 <= int(_VMEM_RAISED_CAP / 1.5)
             ):
@@ -231,8 +233,6 @@ class _Body:
                  stream_rb: int = 0):
         self.cfg, self.T, self.J, self.O, self.BT = cfg, T, J, O, BT
         self.stream_rb = stream_rb
-        if stream_rb:
-            assert T % stream_rb == 0, (T, stream_rb)
         self.link = [float(l) for l in cfg.link_length]
         self.mean_jp = 0.5 * (cfg.max_joint_position + cfg.min_joint_position)
         self.std_jp = 0.5 * (cfg.max_joint_position - self.mean_jp)
@@ -268,11 +268,18 @@ class _Body:
         products, so the blocked result is bitwise-equal to the resident
         single-dot result (tests/test_fleet_fused.py pins this)."""
         RB = self.stream_rb
-        nblk = n_rows // RB
+        # Static row partition: RB-row blocks plus a smaller final block
+        # when RB does not divide n_rows (the Python loop is unrolled, so
+        # every slice is static-shaped).
+        offs = list(range(0, n_rows, RB))
+        sizes = [min(RB, n_rows - o) for o in offs]
+        nblk = len(offs)
 
         def dma(slot, i):
             return pltpu.make_async_copy(
-                ref.at[pl.ds(i * RB, RB), :], scratch.at[slot], sem.at[slot]
+                ref.at[pl.ds(offs[i], sizes[i]), :],
+                scratch.at[slot, pl.ds(0, sizes[i]), :],
+                sem.at[slot],
             )
 
         dma(0, 0).start()
@@ -282,7 +289,7 @@ class _Body:
             if i + 1 < nblk:
                 dma(1 - slot, i + 1).start()
             dma(slot, i).wait()
-            blk = scratch[slot]
+            blk = scratch[slot, : sizes[i], :]
             for k, rhs in enumerate(rhs_list):
                 outs[k].append(self._dot(blk, rhs))
         return [jnp.concatenate(o, axis=0) for o in outs]

@@ -163,15 +163,19 @@ def test_streamed_basis_bitwise_matches_resident(setup, solver):
     args = _kernel_args(cfg, basis, scns16)
     r0 = ps.fused_solve(*args, solver=solver, block_b=16, stream_rb=0,
                         interpret=True)
-    r1 = ps.fused_solve(*args, solver=solver, block_b=16, stream_rb=10,
-                        interpret=True)
-    np.testing.assert_array_equal(np.asarray(r0.alpha), np.asarray(r1.alpha))
-    np.testing.assert_array_equal(
-        np.asarray(r0.final_loss), np.asarray(r1.final_loss)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(r0.inner_iters), np.asarray(r1.inner_iters)
-    )
+    # rb=10 divides T=50; rb=16 does NOT (exercises the remainder block)
+    for rb in (10, 16):
+        r1 = ps.fused_solve(*args, solver=solver, block_b=16, stream_rb=rb,
+                            interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(r0.alpha), np.asarray(r1.alpha)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r0.final_loss), np.asarray(r1.final_loss)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r0.inner_iters), np.asarray(r1.inner_iters)
+        )
 
 
 def test_streamed_eval_kernel_bitwise(setup):
