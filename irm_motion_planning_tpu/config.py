@@ -31,13 +31,24 @@ _DEFAULT_GD_LR: Tuple[float, ...] = (
 # optimizer_GD.py:175-212 early stops) with ~25% headroom per round so
 # fp-path step-count wobble across engines never truncates a round, and
 # extra budget in the LATE rounds: there the penalty weights are large
-# enough to pull the endpoints under eps_position, and a couple of extra
-# steps is what separates "constraints satisfied" (endpoint err 0.0096,
-# measured TPU fused path) from the reference's own constraint-violated
-# finish (0.046).  Budgeted-but-unneeded steps cost (almost) nothing: lanes
-# freeze at the loss plateau, and the Pallas kernels skip whole frozen tiles.
+# enough to pull the endpoints down, and a couple of extra steps is what
+# separates "constraints satisfied" (BLS: endpoint err 0.0096, measured TPU
+# fused path) from the reference's own constraint-violated finish (0.046).
+# Budgeted-but-unneeded steps cost (almost) nothing: lanes freeze at the
+# loss plateau, and the Pallas kernels skip whole frozen tiles.
+#
+# GD (round-3 sweep, TPU xla fleet, reference scene): the endpoint is pulled
+# by rounds 4-8, where the effective endpoint step lambda_sg*gd_lr stays
+# ~5e-4/step (lambda rises 10x per violated round while the reference lr
+# schedule, ref main.py:85-86, decays); round 9's lambda*lr reaches ~5 —
+# unstable, its first trial step raises the loss and the lane freezes, so
+# budget there is wasted.  Measured: late-round budgets 16/32/64/64/32/4
+# land endpoint err 0.026 (vs 0.061 for the round-2 tail 8/4/4/4/4/4, and
+# vs the reference GD's own violated 0.042 finish) at 280 actual steps;
+# pushing further hits the 1e-3 loss-reduction freeze, not the budget —
+# eps_position is unreachable under reference GD semantics.
 REFERENCE_INNER_SCHEDULE_BLS: Tuple[int, ...] = (48, 8, 4, 32, 64, 16, 8, 8, 8, 8)
-REFERENCE_INNER_SCHEDULE_GD: Tuple[int, ...] = (172, 8, 12, 20, 8, 4, 4, 4, 4, 4)
+REFERENCE_INNER_SCHEDULE_GD: Tuple[int, ...] = (172, 8, 12, 20, 16, 32, 64, 64, 32, 4)
 
 # Final avg/max unpenalized obstacle costs of the reference's flagship runs
 # on the reference scene (ref: main.py:141-143), from the runs that produced

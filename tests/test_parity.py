@@ -123,6 +123,43 @@ def test_headline_schedule_quality():
     assert bool(res.stats.converged[0])
 
 
+def test_headline_schedule_quality_gd():
+    """The GD throughput protocol (REFERENCE_INNER_SCHEDULE_GD on the fleet
+    engine — bench.py --solver gd's exact config).  Round 2's schedule ended
+    ~1.7x more endpoint-violated than the reference GD's own run (0.061 vs
+    golden 0.042) behind a 0.1 gate; the round-3 late-round-weighted
+    schedule must land the endpoint at or under the reference GD's own
+    violated finish (bench.py now gates GD at 0.042), with costs within the
+    2% tolerance.  eps_position itself is unreachable under reference GD
+    semantics — see config.py's schedule note."""
+    from irm_motion_planning_tpu.solvers import fleet
+
+    sched = mp.REFERENCE_INNER_SCHEDULE_GD
+    cfg = mp.PlannerConfig(
+        bls_mode="ladder", fixed_iters=True,
+        inner_schedule=sched, max_inner_iteration=max(sched),
+    )
+    basis = mp.make_basis(cfg)
+    scn = mp.reference_scenario(cfg)
+    res = jax.jit(
+        lambda b, s: fleet.fleet_solve(cfg, b, s, solver="gd", backend="xla")
+    )(basis, mp.replicate_scenario(scn, 8))
+    alpha = res.alpha[0]
+    pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+    avg_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=0.0), basis, scn, pen0, alpha)
+    )
+    max_c = float(
+        mp.total_cost(cfg.replace(lambda_max_cost=1.0), basis, scn, pen0, alpha)
+    )
+    rep = mp.constraint_report(cfg, basis, scn, alpha)
+    err = max(float(rep["start_pos_err"]), float(rep["goal_pos_err"]))
+    ref_avg, ref_max = REF_COST["gd"]
+    assert avg_c <= ref_avg * 1.02, f"avg {avg_c} vs ref {ref_avg}"
+    assert max_c <= ref_max * 1.02, f"max {max_c} vs ref {ref_max}"
+    assert err <= 0.042, f"endpoint err {err} vs reference GD's own 0.042"
+
+
 def test_inner_schedule_validation():
     with pytest.raises(ValueError):
         mp.PlannerConfig(inner_schedule=(5, 3))  # len != max_outer_iteration

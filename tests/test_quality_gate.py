@@ -14,6 +14,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_quality_seed_sweep_harness():
+    """The seed-sweep harness (benchmarks/quality_sweep.py) must run end to
+    end and emit per-seed deltas + sign statistics (the real sweep runs on
+    TPU across xla/pallas/fused; see QUALITY_SWEEP_r03.json)."""
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "quality_sweep.py"),
+         "--seeds", "0,1", "--batch", "32", "--backends", "xla"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    verdict = json.loads(out.stdout.strip().splitlines()[-1])
+    assert verdict["metric"] == "quality_seed_sweep"
+    assert len(verdict["per_seed"]) == 2
+
+
 def test_quality_gate_cpu_xla():
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     out = subprocess.run(
