@@ -138,6 +138,9 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
     bb = choose_block_b(cfg, T, B)
     if bb is not None:
         return KernelPlan(bb, 0)
+    if T % 8 != 0:
+        # Streamed row blocks must stay sublane(8)-aligned end to end.
+        return None
     O = cfg.max_obstacles
     for bt in (512, 256, 128):
         if B % bt != 0:
@@ -270,10 +273,17 @@ class _Body:
         RB = self.stream_rb
         # Static row partition: RB-row blocks plus a smaller final block
         # when RB does not divide n_rows (the Python loop is unrolled, so
-        # every slice is static-shaped).
+        # every slice is static-shaped).  Row counts must stay 8-aligned
+        # (sublane tiling), which choose_kernel_plan guarantees via T%8==0.
         offs = list(range(0, n_rows, RB))
         sizes = [min(RB, n_rows - o) for o in offs]
         nblk = len(offs)
+        # The ref's lane width is 128-padded for DMA alignment (see
+        # _pad_basis_cols: Mosaic requires HBM->VMEM copies lane-aligned);
+        # the dot slices the loaded block back to the TRUE contraction
+        # width, so the reduction length — and with it the fp path — is
+        # identical to the resident kernel's (bitwise-equal results).
+        L = rhs_list[0].shape[0]
 
         def dma(slot, i):
             return pltpu.make_async_copy(
@@ -289,7 +299,7 @@ class _Body:
             if i + 1 < nblk:
                 dma(1 - slot, i + 1).start()
             dma(slot, i).wait()
-            blk = scratch[slot, : sizes[i], :]
+            blk = scratch[slot, : sizes[i], :L]
             for k, rhs in enumerate(rhs_list):
                 outs[k].append(self._dot(blk, rhs))
         return [jnp.concatenate(o, axis=0) for o in outs]
@@ -783,6 +793,7 @@ def gd_inner_step(
     BT = block_b
     assert B % BT == 0
     kernel = _make_gd_step_kernel(cfg, T, J, O, BT, stream_rb)
+    kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
@@ -864,14 +875,33 @@ def _basis_specs(T, stream_rb, full):
     return [full((2 * T, T)), full((T, 2 * T))]
 
 
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _pad_basis_cols(kv, kvt, stream_rb):
+    """Zero-pad the basis pair's LANE (column) dimension to a multiple of
+    128 for the streamed mode: Mosaic requires HBM->VMEM DMA slices to be
+    lane-tile-aligned (measured: 'Slice shape along dimension 1 must be
+    aligned to tiling (128)').  Zero columns meet explicitly zero-padded
+    rhs rows in the dots, contributing exactly 0 — bitwise-neutral."""
+    if not stream_rb:
+        return kv, kvt
+    two_t, T = kv.shape
+    kv = jnp.pad(kv, ((0, 0), (0, _pad128(T) - T)))
+    kvt = jnp.pad(kvt, ((0, 0), (0, _pad128(two_t) - two_t)))
+    return kv, kvt
+
+
 def _stream_scratch_shapes(T, stream_rb):
     """Double-buffered row-block scratch + DMA semaphores for the streamed
-    basis contraction (empty in resident mode)."""
+    basis contraction (empty in resident mode).  Lane widths are padded to
+    the 128 tiling (see _pad_basis_cols)."""
     if not stream_rb:
         return []
     return [
-        pltpu.VMEM((2, stream_rb, T), jnp.float32),
-        pltpu.VMEM((2, stream_rb, 2 * T), jnp.float32),
+        pltpu.VMEM((2, stream_rb, _pad128(T)), jnp.float32),
+        pltpu.VMEM((2, stream_rb, _pad128(2 * T)), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -916,6 +946,7 @@ def bls_inner_step(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_step_kernel(cfg, T, J, O, BT, stream_rb)
+    kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
@@ -1150,6 +1181,7 @@ def fused_solve(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb)
+    kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
@@ -1203,6 +1235,7 @@ def cost_grad_eval(
     BT = block_b
     assert B % BT == 0
     kernel = _make_eval_kernel(cfg, T, J, O, BT, stream_rb)
+    kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
         kernel,
