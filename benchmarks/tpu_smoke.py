@@ -86,7 +86,9 @@ def main():
         finite = bool(np.isfinite(np.asarray(res.alpha)).all())
         avg, mx, err = lane0_quality(cfg, basis, scn, res)
         ref_avg, ref_max = REF_QUALITY[solver]
-        endpoint_bound = cfg.eps_position if solver == "bls" else 0.1
+        # GD gate = the reference GD's own violated finish (bench.py gates
+        # the same 0.042; the round-3 schedule lands ~0.026 on-chip).
+        endpoint_bound = cfg.eps_position if solver == "bls" else 0.042
         record(
             f"fused_{solver}_reference_scene",
             finite and avg <= ref_avg * (1 + args.tol)
@@ -121,6 +123,39 @@ def main():
         {"avg_cost": round(avg, 4), "max_cost": round(mx, 4),
          "endpoint_err": round(err, 4)},
     )
+
+    # --- Tiled-T (streamed basis) Mosaic lowering: the streamed fused
+    # solve must be BITWISE equal to the resident kernel on-chip (blocked
+    # dot rows are the same full-length dot products).  Small T keeps the
+    # compile cheap; both a dividing row block and a remainder block. ---
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg = mp.PlannerConfig(
+        n_timesteps=64, bls_mode="ladder", fixed_iters=True,
+        max_inner_iteration=4, max_outer_iteration=3, max_bls_iteration=8,
+    )
+    basis = mp.make_basis(cfg)
+    fs = fleet.to_fleet(mp.random_scenarios(cfg, jax.random.PRNGKey(3), args.batch))
+    a0 = jnp.moveaxis(fleet.fleet_init_alpha(cfg, basis, fs), 1, 0)
+    kargs = (cfg, basis.kv, basis.kv.T, basis.mix, a0,
+             jnp.full((1, args.batch), cfg.lambda_sg_constraint, jnp.float32),
+             jnp.full((1, args.batch), cfg.lambda_jl_constraint, jnp.float32),
+             fs.start, fs.goal,
+             fs.obstacles[:, 0, :], fs.obstacles[:, 1, :], fs.obstacle_weight)
+    resident = np.asarray(
+        ps.fused_solve(*kargs, solver="bls", block_b=128, stream_rb=0).alpha
+    )
+    for rb in (16, 24):  # 24 does not divide 64: remainder-block path
+        streamed = np.asarray(
+            ps.fused_solve(*kargs, solver="bls", block_b=128,
+                           stream_rb=rb).alpha
+        )
+        record(
+            f"streamed_rb{rb}_bitwise_vs_resident",
+            np.array_equal(resident, streamed)
+            and bool(np.isfinite(streamed).all()),
+            {"bitwise": bool(np.array_equal(resident, streamed))},
+        )
 
     # --- Kernel backends vs XLA on a random batch, distributional ---
     cfg = mp.PlannerConfig(bls_mode="ladder", fixed_iters=True,
