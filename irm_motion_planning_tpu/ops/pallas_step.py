@@ -353,14 +353,20 @@ class _Body:
             r = r * (2.0 - x * r)
         return r
 
-    def obstacle_cost_v(self, ee_x, ee_y, ox, oy, ow):
+    def obs_ctx(self, ox, oy, ow):
+        """Hoisted loop-invariant obstacle terms: per-obstacle
+        q_o = 0.5 + 0.5*|o|^2 and the 0.8-scaled weights are constant over a
+        solve, so callers build this ONCE per step/eval instead of
+        recomputing the (O, BT) rows in every ladder rung."""
+        return (ox, oy, 0.5 + 0.5 * (ox * ox + oy * oy), 0.8 * ow)
+
+    def obstacle_cost_v(self, ee_x, ee_y, obs):
         """Obstacle repulsion field (ref: environment.py:32-43), dot-product
         form: 0.5*d2 + 0.5 = q_o + h - (ox*ee_x + oy*ee_y) with per-obstacle
-        q_o = 0.5 + 0.5*|o|^2 and per-point h = 0.5*|ee|^2 hoisted out of
-        the O-loop."""
+        q_o and per-point h = 0.5*|ee|^2 hoisted out of the O-loop.
+        ``obs`` is an :meth:`obs_ctx` tuple."""
+        ox, oy, q, ow8 = obs
         h = 0.5 * (ee_x * ee_x + ee_y * ee_y)
-        q = 0.5 + 0.5 * (ox * ox + oy * oy)   # (O, BT)
-        ow8 = 0.8 * ow
         acc = jnp.zeros_like(ee_x)
         for o in range(self.O):
             s = (h + q[o:o + 1]) - (ox[o:o + 1] * ee_x + oy[o:o + 1] * ee_y)
@@ -403,25 +409,42 @@ class _Body:
         return toc + lam_sg * (sgpc + sgvc) + lam_jl * (jpc + jvc)
 
     def cost_grad_eval(self, bas: _BasisHandles, mix, alpha, start, goal,
-                       ox, oy, ow, lam_sg, lam_jl):
+                       obs, lam_sg, lam_jl):
         """Fused loss/grad/eval at alpha planes.  Returns
-        (loss (1, BT), grad planes, traj planes, vel planes)."""
+        (loss (1, BT), grad planes, traj planes, vel planes, px, py) —
+        px/py are the FK tangent terms (see fk_ee), returned so the fused
+        solve kernel can seed its per-step FK carry."""
         nt, nv = self.forward_planes(bas, mix, alpha)
-        loss, grad = self.cost_grad_from_traj(
-            bas, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
+        loss, grad, px, py = self.cost_grad_from_traj(
+            bas, mix, nt, nv, start, goal, obs, lam_sg, lam_jl
         )
-        return loss, grad, nt, nv
+        return loss, grad, nt, nv, px, py
 
     def cost_grad_from_traj(self, bas: _BasisHandles, mix, nt, nv, start, goal,
-                            ox, oy, ow, lam_sg, lam_jl):
+                            obs, lam_sg, lam_jl, fk=None, skip_loss=False):
         """Fused loss + alpha-gradient given an already-evaluated
         (traj, vel).  The RKHS evaluation is LINEAR in alpha, so callers
         that form the iterate as an affine combination of evaluated points
         (the line-search ladder) can skip the forward basis GEMMs entirely.
-        Returns (loss (1, BT), grad planes)."""
+
+        ``fk``: optional (px, py) FK tangent planes already evaluated at
+        ``nt`` (the BLS ladder evaluates FK at every rung; carrying the
+        accepted rung's tangents here skips this eval's 2J sincos — the
+        kernel's costliest transcendental, see REPORT §9).  ``skip_loss``:
+        don't recompute the scalar loss (the ladder's accepted-rung loss is
+        the bitwise-same value).  Returns (loss (1, BT) | None, grad planes,
+        px, py)."""
         cfg, T, J, O, BT = self.cfg, self.T, self.J, self.O, self.BT
         lam_max = cfg.lambda_max_cost
-        ee_x, ee_y, px, py = self.fk_ee(nt)
+        ox, oy, q, ow8 = obs
+        if fk is None:
+            ee_x, ee_y, px, py = self.fk_ee(nt)
+        else:
+            px, py = [list(p) for p in fk]
+            ee_x, ee_y = px[0], py[0]
+            for j in range(1, J):
+                ee_x = ee_x + px[j]
+                ee_y = ee_y + py[j]
 
         # Dot-product form (same algebra as obstacle_cost_v) with FACTORED
         # gradient accumulators: grad = sum_o c_o (ee - o) with
@@ -429,12 +452,10 @@ class _Body:
         # co{x,y} = sum c_o o instead of per-obstacle (ee - o) products —
         # one fewer plane op per obstacle component than the naive form.
         h = 0.5 * (ee_x * ee_x + ee_y * ee_y)
-        q = 0.5 + 0.5 * (ox * ox + oy * oy)   # (O, BT)
         cost_v = jnp.zeros((T, BT), jnp.float32)
         csum = jnp.zeros((T, BT), jnp.float32)
         cox = jnp.zeros((T, BT), jnp.float32)
         coy = jnp.zeros((T, BT), jnp.float32)
-        ow8 = 0.8 * ow
         for o in range(O):
             s = (h + q[o:o + 1]) - (ox[o:o + 1] * ee_x + oy[o:o + 1] * ee_y)
             inv = self.recip(s)
@@ -471,7 +492,10 @@ class _Body:
             jac_x[j] = accx
             jac_y[j] = accy
 
-        loss = self.scalar_cost(nt, nv, cost_v, start, goal, lam_sg, lam_jl)
+        loss = (
+            None if skip_loss
+            else self.scalar_cost(nt, nv, cost_v, start, goal, lam_sg, lam_jl)
+        )
 
         first_row = jnp.concatenate(
             [jnp.ones((1, BT), jnp.float32), jnp.zeros((T - 1, BT), jnp.float32)],
@@ -521,12 +545,13 @@ class _Body:
             for i in range(1, J):
                 acc = acc + pulled[i] * mix[j, i]
             grad.append(acc)
-        return loss, grad
+        return loss, grad, px, py
 
 
 def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
-              start, goal, ox, oy, ow, lam_sg, lam_jl,
-              alpha, grad, traj, vel, loss, bls_lr, minimized):
+              start, goal, obs, lam_sg, lam_jl,
+              alpha, grad, traj, vel, loss, bls_lr, minimized,
+              px=None, py=None):
     """One BLS inner step on plane tuples (pure arrays, no refs): normalized
     direction, early-exiting Armijo ladder via the linearized evaluation,
     accepted step, fused cost/grad/eval at the new iterate, in-kernel lane
@@ -534,7 +559,25 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     (alpha, grad, traj, vel, loss, lr, new_min) with frozen lanes passed
     through unchanged.  Shared by the per-step kernel and the VMEM-resident
     whole-solve kernel (semantics: ref optimizer_BLS.py:126-213 with the
-    parallel-ladder redesign)."""
+    parallel-ladder redesign).
+
+    FK carry (linearized mode, ``px``/``py`` given — the whole-solve
+    kernel): every ladder rung evaluates FK at its candidate anyway, so the
+    ACCEPTED rung's tangent planes are select-carried out of the ladder and
+    the post-loop eval reuses them — skipping one full fk_ee (2J sincos, the
+    kernel's costliest transcendental) AND the scalar-loss recompute (the
+    accepted rung evaluated the same candidate, incl. the lr_eff=0
+    no-acceptance case where the carried loss/FK are the incoming
+    iterate's) per inner step.  The reused values are the same real-
+    arithmetic quantities but NOT bitwise-identical to a recompute — the
+    compiler contracts ``traj - lr*dir`` into FMAs differently across
+    contexts (~1-2 ulp) — so this is an fp-path change of the same class as
+    the fast-reciprocal/strength-reduction levers: validated against the
+    quality distribution (benchmarks/quality.py), not per-lane outcomes
+    (see CLAUDE.md numerics invariants).  Returns 2 extra entries (px, py)
+    in carry mode.  The per-step kernel does NOT use the carry: it would
+    add a (2J planes) HBM state round-trip per step, which costs more than
+    the saved VPU work at that path's ~33 FLOP/byte arithmetic intensity."""
     J, BT = body.J, body.BT
     n = cfg.max_bls_iteration
     frozen = minimized > 0.5
@@ -552,6 +595,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     alpha_norm = jnp.sum(gsum * (gsum * inv_norm), axis=0, keepdims=True)
 
     linearized = cfg.ladder_eval == "linearized"
+    carry_fk = linearized and px is not None
     if linearized:
         # evaluate the search direction once (evaluation is linear in alpha)
         gtraj, gvel = body.forward_planes(bas, mix, n_grad)
@@ -566,12 +610,12 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     # the sequential reference; the loop ends as soon as every live lane in
     # the tile has its first Armijo pass.
     def ladder_cond(c):
-        r, rung, found, lr_best, loss_best = c
+        r, found = c[0], c[2]
         want = jnp.logical_and(found == 0.0, jnp.logical_not(frozen))
         return jnp.logical_and(r < n, jnp.any(want))
 
     def ladder_body(c):
-        r, rung, found, lr_best, loss_best = c
+        r, rung, found, lr_best, loss_best = c[:5]
         lr_r = bls_lr * rung
         if linearized:
             cand_t = [traj[j] - lr_r * dir_t[j] for j in range(J)]
@@ -582,33 +626,43 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
             a_fac_r = 1.0 - cfg.lambda_reg * lr_r
             cand_a = [a_fac_r * alpha[j] - lr_r * n_grad[j] for j in range(J)]
             cand_t, cand_v = body.forward_planes(bas, mix, cand_a)
-        ee_x, ee_y, _, _ = body.fk_ee(cand_t)
-        cost_v = body.obstacle_cost_v(ee_x, ee_y, ox, oy, ow)
+        ee_x, ee_y, cpx, cpy = body.fk_ee(cand_t)
+        cost_v = body.obstacle_cost_v(ee_x, ee_y, obs)
         closs = body.scalar_cost(
             cand_t, cand_v, cost_v, start, goal, lam_sg, lam_jl
         )
         required = loss - cfg.bls_alpha * lr_r * alpha_norm
         ok = jnp.logical_and(closs <= required, found == 0.0)
         okf = ok.astype(jnp.float32)
-        return (
+        out = (
             r + 1,
             rung * cfg.bls_beta_minus,
             jnp.maximum(found, okf),
             lr_best + okf * lr_r,
             jnp.where(ok, closs, loss_best),
         )
+        if carry_fk:
+            out = out + (
+                tuple(jnp.where(ok, cpx[j], c[5][j]) for j in range(J)),
+                tuple(jnp.where(ok, cpy[j], c[6][j]) for j in range(J)),
+            )
+        return out
 
-    _, _, found, lr_best, loss_best = jax.lax.while_loop(
-        ladder_cond,
-        ladder_body,
-        (
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(1.0, jnp.float32),
-            jnp.zeros((1, BT), jnp.float32),
-            jnp.zeros((1, BT), jnp.float32),
-            loss,
-        ),
+    ladder_init = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.zeros((1, BT), jnp.float32),
+        jnp.zeros((1, BT), jnp.float32),
+        loss,
     )
+    if carry_fk:
+        # init = the incoming iterate's FK: exactly right for lanes where no
+        # rung passes (lr_eff = 0 keeps the iterate bitwise unchanged).
+        ladder_init = ladder_init + (tuple(px), tuple(py))
+    res = jax.lax.while_loop(ladder_cond, ladder_body, ladder_init)
+    found, lr_best, loss_best = res[2], res[3], res[4]
+    if carry_fk:
+        px_c, py_c = res[5], res[6]
 
     any_ok = found > 0.0
     lr_eff = jnp.where(any_ok, lr_best, 0.0)
@@ -632,9 +686,19 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
     else:
         nt, nv = body.forward_planes(bas, mix, new_alpha)
-    nloss, ngrad = body.cost_grad_from_traj(
-        bas, mix, nt, nv, start, goal, ox, oy, ow, lam_sg, lam_jl
-    )
+    if carry_fk:
+        # The accepted rung already evaluated FK and the scalar loss at this
+        # iterate: reuse both (same real-arithmetic values, ~1-2 ulp fp-path
+        # difference from a recompute — see the docstring).
+        nloss, npx, npy = loss_best, list(px_c), list(py_c)
+        _, ngrad, _, _ = body.cost_grad_from_traj(
+            bas, mix, nt, nv, start, goal, obs, lam_sg, lam_jl,
+            fk=(npx, npy), skip_loss=True,
+        )
+    else:
+        nloss, ngrad, npx, npy = body.cost_grad_from_traj(
+            bas, mix, nt, nv, start, goal, obs, lam_sg, lam_jl
+        )
 
     out_alpha = [jnp.where(frozen, alpha[j], new_alpha[j]) for j in range(J)]
     out_grad = [
@@ -646,21 +710,29 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     out_loss = jnp.where(frozen, loss, jnp.where(stop, loss_best, nloss))
     out_lr = jnp.where(frozen, bls_lr, new_lr)
     new_min = jnp.maximum(minimized, stop.astype(jnp.float32))
-    return out_alpha, out_grad, out_traj, out_vel, out_loss, out_lr, new_min
+    out = (out_alpha, out_grad, out_traj, out_vel, out_loss, out_lr, new_min)
+    if carry_fk:
+        out = out + (
+            [jnp.where(frozen, px[j], npx[j]) for j in range(J)],
+            [jnp.where(frozen, py[j], npy[j]) for j in range(J)],
+        )
+    return out
 
 
 def _gd_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
-             start, goal, ox, oy, ow, lam_sg, lam_jl,
+             start, goal, obs, lam_sg, lam_jl,
              alpha, grad, traj, vel, loss, lr, minimized):
     """One GD inner step on plane tuples (ref: optimizer_GD.py:184-194: the
     stop test REJECTS the trial step).  Same signature/returns as
-    :func:`_bls_step`; ``lr`` passes through unchanged."""
+    :func:`_bls_step`; ``lr`` passes through unchanged.  No FK carry: GD
+    evaluates FK once per step at a fresh trial point — there is no
+    duplicated evaluation to reuse."""
     J = body.J
     frozen = minimized > 0.5
     a_fac = 1.0 - cfg.lambda_reg * lr
     trial = [a_fac * alpha[j] - lr * grad[j] for j in range(J)]
-    nloss, ngrad, nt, nv = body.cost_grad_eval(
-        bas, mix, trial, start, goal, ox, oy, ow, lam_sg, lam_jl
+    nloss, ngrad, nt, nv, _, _ = body.cost_grad_eval(
+        bas, mix, trial, start, goal, obs, lam_sg, lam_jl
     )
     stop = (loss - nloss) < cfg.loop_loss_reduction
     keep = jnp.logical_or(frozen, stop)
@@ -709,7 +781,8 @@ def _make_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             a, g, t, v, lo, lr, mn = _bls_step(
                 body, cfg, _bind_basis(body, kv_ref, kvt_ref, scratch),
                 mix_ref[:],
-                start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
+                start_ref[:], goal_ref[:],
+                body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:]),
                 lamsg_ref[:], lamjl_ref[:],
                 [alpha_ref[j] for j in range(J)],
                 [grad_ref[j] for j in range(J)],
@@ -749,7 +822,8 @@ def _make_gd_step_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         a, g, t, v, lo, lr, mn = _gd_step(
             body, cfg, _bind_basis(body, kv_ref, kvt_ref, scratch),
             mix_ref[:],
-            start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
+            start_ref[:], goal_ref[:],
+            body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:]),
             lamsg_ref[:], lamjl_ref[:],
             [alpha_ref[j] for j in range(J)],
             [grad_ref[j] for j in range(J)],
@@ -836,9 +910,10 @@ def _make_eval_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         *scratch,
     ):
         alpha = [alpha_ref[j] for j in range(J)]
-        loss, grad, nt, nv = body.cost_grad_eval(
+        loss, grad, nt, nv, _, _ = body.cost_grad_eval(
             _bind_basis(body, kv_ref, kvt_ref, scratch), mix_ref[:], alpha,
-            start_ref[:], goal_ref[:], ox_ref[:], oy_ref[:], ow_ref[:],
+            start_ref[:], goal_ref[:],
+            body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:]),
             lamsg_ref[:], lamjl_ref[:],
         )
         loss_ref[:] = loss
@@ -1056,14 +1131,18 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         bas = _bind_basis(body, kv_ref, kvt_ref, scratch)
         mix = mix_ref[:]
         start, goal = start_ref[:], goal_ref[:]
-        ox, oy, ow = ox_ref[:], oy_ref[:], ow_ref[:]
+        obs = body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:])
         zeros = jnp.zeros((1, BT), jnp.float32)
+        # FK carry across inner steps (see _bls_step): BLS's linearized
+        # ladder evaluates FK at every rung, so the accepted rung's tangent
+        # planes ride the VMEM-resident state instead of being recomputed.
+        carry_fk = solver == "bls" and cfg.ladder_eval == "linearized"
 
         def live_round(r, op):
             alpha, lam_sg, lam_jl, fulfilled, outer, icnt, floss = op
             # per-round fused re-evaluation under the current penalties
-            loss, grad, traj, vel = body.cost_grad_eval(
-                bas, mix, list(alpha), start, goal, ox, oy, ow,
+            loss, grad, traj, vel, px, py = body.cost_grad_eval(
+                bas, mix, list(alpha), start, goal, obs,
                 lam_sg, lam_jl,
             )
             if solver == "bls":
@@ -1082,30 +1161,43 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             minimized = fulfilled
 
             def istep(_, s):
-                alpha, grad, traj, vel, loss, lr, minimized, icnt = s
-                tile_live = jnp.any(minimized < 0.5)
+                tile_live = jnp.any(s[-2] < 0.5)
 
                 def do(sx):
-                    alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
-                    a, g, t, v, lo, nlr, mn = step_fn(
-                        body, cfg, bas, mix, start, goal, ox, oy, ow,
-                        lam_sg, lam_jl,
-                        list(alpha), list(grad), list(traj), list(vel),
-                        loss, lr, minimized,
-                    )
+                    if carry_fk:
+                        (alpha, grad, traj, vel, cpx, cpy,
+                         loss, lr, minimized, icnt) = sx
+                        a, g, t, v, lo, nlr, mn, opx, opy = step_fn(
+                            body, cfg, bas, mix, start, goal, obs,
+                            lam_sg, lam_jl,
+                            list(alpha), list(grad), list(traj), list(vel),
+                            loss, lr, minimized,
+                            px=list(cpx), py=list(cpy),
+                        )
+                        carry = (tuple(opx), tuple(opy))
+                    else:
+                        alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
+                        a, g, t, v, lo, nlr, mn = step_fn(
+                            body, cfg, bas, mix, start, goal, obs,
+                            lam_sg, lam_jl,
+                            list(alpha), list(grad), list(traj), list(vel),
+                            loss, lr, minimized,
+                        )
+                        carry = ()
                     stepped = jnp.logical_and(
                         minimized < 0.5, mn < 0.5
                     ).astype(jnp.float32)
                     return (
-                        tuple(a), tuple(g), tuple(t), tuple(v),
-                        lo, nlr, mn, icnt + stepped,
+                        (tuple(a), tuple(g), tuple(t), tuple(v)) + carry
+                        + (lo, nlr, mn, icnt + stepped)
                     )
 
                 return jax.lax.cond(tile_live, do, lambda sx: sx, s)
 
+            fk0 = (tuple(px), tuple(py)) if carry_fk else ()
             s0 = (
-                tuple(alpha), tuple(grad), tuple(traj), tuple(vel),
-                loss, lr0, minimized, icnt,
+                (tuple(alpha), tuple(grad), tuple(traj), tuple(vel)) + fk0
+                + (loss, lr0, minimized, icnt)
             )
             if inner_sched is not None:
                 n_r = jnp.asarray(0, jnp.int32)
@@ -1114,7 +1206,8 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             else:
                 n_r = inner_n
             s = jax.lax.fori_loop(0, n_r, istep, s0)
-            alpha, _, traj, vel, loss, _, _, icnt = s
+            alpha, traj, vel = s[0], s[2], s[3]
+            loss, icnt = s[-4], s[-1]
 
             ok = constraints_ok(traj, vel, start, goal)
             was = fulfilled
