@@ -197,7 +197,8 @@ def main():
         # and, like the reference, ends violated — its gate is the
         # reference's own endpoint (0.046) plus slack.  GD runs the
         # late-round-weighted schedule (config.REFERENCE_INNER_SCHEDULE_GD,
-        # tuned round 3): measured endpoint ~0.026-0.032 — STRICTLY BETTER
+        # tuned round 3; tail trimmed to 251 live steps): measured endpoint
+        # 0.0344 at the 256k headline config — STRICTLY BETTER
         # than the reference GD's own violated 0.042 finish (reaching
         # eps_position is blocked by reference semantics: the late rounds'
         # lambda*lr product turns unstable at round 9 and the 1e-3

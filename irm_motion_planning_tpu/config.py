@@ -37,18 +37,21 @@ _DEFAULT_GD_LR: Tuple[float, ...] = (
 # Budgeted-but-unneeded steps cost (almost) nothing: lanes freeze at the
 # loss plateau, and the Pallas kernels skip whole frozen tiles.
 #
-# GD (round-3 sweep, TPU xla fleet, reference scene): the endpoint is pulled
-# by rounds 4-8, where the effective endpoint step lambda_sg*gd_lr stays
-# ~5e-4/step (lambda rises 10x per violated round while the reference lr
-# schedule, ref main.py:85-86, decays); round 9's lambda*lr reaches ~5 —
+# GD (round-3 sweeps, TPU fused kernel, reference scene): the endpoint is
+# pulled by rounds 4-8, where the effective endpoint step lambda_sg*gd_lr
+# stays ~5e-4/step (lambda rises 10x per violated round while the reference
+# lr schedule, ref main.py:85-86, decays); round 9's lambda*lr reaches ~5 —
 # unstable, its first trial step raises the loss and the lane freezes, so
-# budget there is wasted.  Measured: late-round budgets 16/32/64/64/32/4
-# land endpoint err 0.026 (vs 0.061 for the round-2 tail 8/4/4/4/4/4, and
-# vs the reference GD's own violated 0.042 finish) at 280 actual steps;
-# pushing further hits the 1e-3 loss-reduction freeze, not the budget —
-# eps_position is unreachable under reference GD semantics.
+# budget there is wasted.  Measured tail ladder (TPU fused, B=128): the
+# round-2 tail 8/4/4/4/4/4 ends at 0.061 (WORSE than the reference GD's own
+# violated 0.042 finish — retired); 16/32/64/64/32/4 at 0.026 (283 live
+# steps); the shipped 16/24/40/40/24/4 at 0.034 (251 live steps) — the
+# cheapest tail that keeps ~20% margin under the 0.042 gate against
+# fp-path wobble (per-scene outcomes are path-dependent, CLAUDE.md).
+# Pushing budget UP past 64s hits the 1e-3 loss-reduction freeze, not the
+# budget — eps_position is unreachable under reference GD semantics.
 REFERENCE_INNER_SCHEDULE_BLS: Tuple[int, ...] = (48, 8, 4, 32, 64, 16, 8, 8, 8, 8)
-REFERENCE_INNER_SCHEDULE_GD: Tuple[int, ...] = (172, 8, 12, 20, 16, 32, 64, 64, 32, 4)
+REFERENCE_INNER_SCHEDULE_GD: Tuple[int, ...] = (172, 8, 12, 20, 16, 24, 40, 40, 24, 4)
 
 # Final avg/max unpenalized obstacle costs of the reference's flagship runs
 # on the reference scene (ref: main.py:141-143), from the runs that produced

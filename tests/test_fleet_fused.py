@@ -207,6 +207,11 @@ def test_kernel_plan_selection():
     p1000 = ps.choose_kernel_plan(auto, 1000, 4096)
     assert p1000 is not None and p1000.stream_rb > 0
     assert 1000 % p1000.stream_rb == 0 and p1000.stream_rb % 8 == 0
+    # T=1200's linear estimate fit the old 1.5x headroom but Mosaic's REAL
+    # streamed usage (~1.5x the estimate, measured on-chip: 96.25 MB
+    # allocated, hard compile OOM) did not: the calibrated feasibility must
+    # route it to the XLA fallback instead of attempting the compile.
+    assert ps.choose_kernel_plan(auto, 1200, 4096) is None
     # Far past the streamed per-lane-state ceiling: infeasible.
     assert ps.choose_kernel_plan(auto, 4096, 4096) is None
 
