@@ -112,6 +112,12 @@ def main():
                         "and mean final cost of the batch instead")
     p.add_argument("--seed", type=int, default=0,
                    help="random-scenario seed (--random-scenarios only)")
+    p.add_argument("--lane-compaction",
+                   type=lambda x: str(x).lower() == "true", default=False,
+                   help="heterogeneous-fleet mode: per-round fused kernel + "
+                        "between-round lane re-sorting so tiles freeze "
+                        "together (bitwise-equal per lane; pointless for "
+                        "replicated scenes — pair with --random-scenarios)")
     args = p.parse_args()
 
     if args.inner is not None:
@@ -126,6 +132,7 @@ def main():
         recip_newton=args.recip_newton,
         max_obstacles=args.max_obstacles,
         ladder_eval=args.ladder_eval,
+        lane_compaction=args.lane_compaction,
         **sched_kw,
     )
     basis = mp.make_basis(cfg)

@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recip-newton", type=_bool, default=False,
                    help="Refine the in-kernel approximate reciprocal with "
                         "one Newton step (quality-gated default: off)")
+    p.add_argument("--lane-compaction", type=_bool, default=False,
+                   help="Heterogeneous-fleet mode (backend fused): re-sort "
+                        "lanes between penalty rounds so kernel tiles "
+                        "freeze together (bitwise-equal per lane)")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="trajectory_result.txt")
@@ -204,6 +208,7 @@ def config_from_args(args) -> "PlannerConfig":
         max_obstacles=args.max_obstacles,
         pallas_block_b=args.pallas_block_b,
         recip_newton=args.recip_newton,
+        lane_compaction=args.lane_compaction,
     )
 
 

@@ -159,6 +159,19 @@ class PlannerConfig:
     # choose_block_b), which also raises the kernel's vmem limit for large
     # problems so no legal choice can OOM at compile time.
     pallas_block_b: int = 0
+    # Between-round lane compaction for heterogeneous fleets (backend
+    # 'fused' only): run the dual loop as one fused-round kernel launch per
+    # penalty round and re-sort lanes between rounds by the previous round's
+    # accepted-step count (fulfilled lanes packed last).  A kernel tile
+    # stays live until its SLOWEST lane freezes, so grouping
+    # similar-convergence lanes lets tiles freeze (and fulfilled tiles skip
+    # whole rounds) instead of being pinned live by scattered stragglers.
+    # Per-lane results are BITWISE identical to the whole-solve kernel (all
+    # lane ops are elementwise; freeze/skip are identity pass-throughs) —
+    # only throughput changes.  Pointless for replicated-scene batches
+    # (lanes are already in lockstep); measured on random scenarios in
+    # docs/REPORT.md §9.
+    lane_compaction: bool = False
     # Refine the in-kernel approximate reciprocal with one Newton step
     # (~1.4e-5 relative error; False = raw hardware approximation, ~2^-12).
     # Both sit below the 5e-3 cross-engine fp noise floor.  Default False:

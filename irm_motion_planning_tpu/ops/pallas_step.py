@@ -1068,7 +1068,8 @@ def bls_inner_step(
 
 
 def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
-                       solver: str, stream_rb: int = 0):
+                       solver: str, stream_rb: int = 0,
+                       per_round: bool = False):
     """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
     optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
     runs inside one kernel per lane tile — per-round fused re-evaluation,
@@ -1076,7 +1077,16 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     escalation — with every piece of solver state resident in VMEM.  HBM
     traffic is exactly: read the warm start + scenario once, write the final
     state once (vs. a full state round-trip per inner step for the per-step
-    kernel ladder)."""
+    kernel ladder).
+
+    ``per_round=True`` builds the ONE-ROUND variant instead (see
+    :func:`fused_round`): the same round body (round-start fused eval, the
+    inner descent loop, the hard-constraint check) as one kernel launch, with
+    the penalty-escalation bookkeeping left to the caller between launches.
+    This is the building block for between-round lane compaction
+    (solvers/fleet.py::_pallas_fused_rounds_solve): re-sorting lanes between
+    rounds needs the state in HBM at round boundaries.  The inner budget is a
+    runtime SMEM scalar so every round shares ONE Mosaic compilation."""
     body = _Body(cfg, T, J, O, BT, stream_rb)
     rounds = cfg.max_outer_iteration
     inner_n = cfg.max_inner_iteration
@@ -1133,6 +1143,64 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             jnp.logical_and(pos_ok, vel_ok), jnp.logical_and(box_ok, vbox_ok)
         ).astype(jnp.float32)
 
+    # FK carry across inner steps (see _bls_step): BLS's linearized
+    # ladder evaluates FK at every rung, so the accepted rung's tangent
+    # planes ride the VMEM-resident state instead of being recomputed.
+    carry_fk = solver == "bls" and cfg.ladder_eval == "linearized"
+
+    def run_inner(bas, mix, start, goal, obs,
+                  alpha, lam_sg, lam_jl, minimized, lr0, n_r, icnt):
+        """Round-start fused eval + the inner descent loop.  Shared by the
+        whole-solve and per-round kernels — the op sequence (and therefore
+        the fp path) is identical in both."""
+        # per-round fused re-evaluation under the current penalties
+        loss, grad, traj, vel, px, py = body.cost_grad_eval(
+            bas, mix, list(alpha), start, goal, obs,
+            lam_sg, lam_jl,
+        )
+
+        def istep(_, s):
+            tile_live = jnp.any(s[-2] < 0.5)
+
+            def do(sx):
+                if carry_fk:
+                    (alpha, grad, traj, vel, cpx, cpy,
+                     loss, lr, minimized, icnt) = sx
+                    a, g, t, v, lo, nlr, mn, opx, opy = step_fn(
+                        body, cfg, bas, mix, start, goal, obs,
+                        lam_sg, lam_jl,
+                        list(alpha), list(grad), list(traj), list(vel),
+                        loss, lr, minimized,
+                        px=list(cpx), py=list(cpy),
+                    )
+                    carry = (tuple(opx), tuple(opy))
+                else:
+                    alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
+                    a, g, t, v, lo, nlr, mn = step_fn(
+                        body, cfg, bas, mix, start, goal, obs,
+                        lam_sg, lam_jl,
+                        list(alpha), list(grad), list(traj), list(vel),
+                        loss, lr, minimized,
+                    )
+                    carry = ()
+                stepped = jnp.logical_and(
+                    minimized < 0.5, mn < 0.5
+                ).astype(jnp.float32)
+                return (
+                    (tuple(a), tuple(g), tuple(t), tuple(v)) + carry
+                    + (lo, nlr, mn, icnt + stepped)
+                )
+
+            return jax.lax.cond(tile_live, do, lambda sx: sx, s)
+
+        fk0 = (tuple(px), tuple(py)) if carry_fk else ()
+        s0 = (
+            (tuple(alpha), tuple(grad), tuple(traj), tuple(vel)) + fk0
+            + (loss, lr0, minimized, icnt)
+        )
+        s = jax.lax.fori_loop(0, n_r, istep, s0)
+        return s[0], s[2], s[3], s[-4], s[-1]  # alpha, traj, vel, loss, icnt
+
     def kernel(
         kv_ref, kvt_ref, mix_ref, a0_ref, lamsg_ref, lamjl_ref,
         start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
@@ -1145,18 +1213,9 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         start, goal = start_ref[:], goal_ref[:]
         obs = body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:])
         zeros = jnp.zeros((1, BT), jnp.float32)
-        # FK carry across inner steps (see _bls_step): BLS's linearized
-        # ladder evaluates FK at every rung, so the accepted rung's tangent
-        # planes ride the VMEM-resident state instead of being recomputed.
-        carry_fk = solver == "bls" and cfg.ladder_eval == "linearized"
 
         def live_round(r, op):
             alpha, lam_sg, lam_jl, fulfilled, outer, icnt, floss = op
-            # per-round fused re-evaluation under the current penalties
-            loss, grad, traj, vel, px, py = body.cost_grad_eval(
-                bas, mix, list(alpha), start, goal, obs,
-                lam_sg, lam_jl,
-            )
             if solver == "bls":
                 lr0 = jnp.full((1, BT), cfg.bls_lr_start, jnp.float32)
             else:
@@ -1170,56 +1229,16 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                     r >= len(sched) - 1, sched[-1], 0.0
                 )
                 lr0 = jnp.full((1, BT), 1.0, jnp.float32) * lr_s
-            minimized = fulfilled
-
-            def istep(_, s):
-                tile_live = jnp.any(s[-2] < 0.5)
-
-                def do(sx):
-                    if carry_fk:
-                        (alpha, grad, traj, vel, cpx, cpy,
-                         loss, lr, minimized, icnt) = sx
-                        a, g, t, v, lo, nlr, mn, opx, opy = step_fn(
-                            body, cfg, bas, mix, start, goal, obs,
-                            lam_sg, lam_jl,
-                            list(alpha), list(grad), list(traj), list(vel),
-                            loss, lr, minimized,
-                            px=list(cpx), py=list(cpy),
-                        )
-                        carry = (tuple(opx), tuple(opy))
-                    else:
-                        alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
-                        a, g, t, v, lo, nlr, mn = step_fn(
-                            body, cfg, bas, mix, start, goal, obs,
-                            lam_sg, lam_jl,
-                            list(alpha), list(grad), list(traj), list(vel),
-                            loss, lr, minimized,
-                        )
-                        carry = ()
-                    stepped = jnp.logical_and(
-                        minimized < 0.5, mn < 0.5
-                    ).astype(jnp.float32)
-                    return (
-                        (tuple(a), tuple(g), tuple(t), tuple(v)) + carry
-                        + (lo, nlr, mn, icnt + stepped)
-                    )
-
-                return jax.lax.cond(tile_live, do, lambda sx: sx, s)
-
-            fk0 = (tuple(px), tuple(py)) if carry_fk else ()
-            s0 = (
-                (tuple(alpha), tuple(grad), tuple(traj), tuple(vel)) + fk0
-                + (loss, lr0, minimized, icnt)
-            )
             if inner_sched is not None:
                 n_r = jnp.asarray(0, jnp.int32)
                 for l in range(len(inner_sched)):
                     n_r = n_r + jnp.where(r == l, inner_sched[l], 0)
             else:
                 n_r = inner_n
-            s = jax.lax.fori_loop(0, n_r, istep, s0)
-            alpha, traj, vel = s[0], s[2], s[3]
-            loss, icnt = s[-4], s[-1]
+            alpha, traj, vel, loss, icnt = run_inner(
+                bas, mix, start, goal, obs,
+                alpha, lam_sg, lam_jl, fulfilled, lr0, n_r, icnt,
+            )
 
             ok = constraints_ok(traj, vel, start, goal)
             was = fulfilled
@@ -1250,7 +1269,49 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
         out_outer_ref[:] = outer
         out_inner_ref[:] = icnt
 
-    return kernel
+    def round_kernel(
+        nr_ref,  # SMEM (1, 1) i32: this round's inner-step budget
+        kv_ref, kvt_ref, mix_ref, a0_ref, lamsg_ref, lamjl_ref,
+        ful_ref, lr0_ref,
+        start_ref, goal_ref, ox_ref, oy_ref, ow_ref,
+        out_alpha_ref, out_loss_ref, out_ok_ref, out_inner_ref,
+        *scratch,
+    ):
+        bas = _bind_basis(body, kv_ref, kvt_ref, scratch)
+        mix = mix_ref[:]
+        start, goal = start_ref[:], goal_ref[:]
+        obs = body.obs_ctx(ox_ref[:], oy_ref[:], ow_ref[:])
+        ful = ful_ref[:]
+        zeros = jnp.zeros((1, BT), jnp.float32)
+
+        def live(op):
+            alpha, icnt = op
+            a, traj, vel, loss, ic = run_inner(
+                bas, mix, start, goal, obs,
+                list(alpha), lamsg_ref[:], lamjl_ref[:],
+                ful, lr0_ref[:], nr_ref[0, 0], icnt,
+            )
+            ok = constraints_ok(traj, vel, start, goal)
+            return tuple(a), ic, loss, ok
+
+        def skip(op):
+            # Whole tile already fulfilled: identity pass-through (the
+            # caller masks loss/ok with the round-start fulfilled flag).
+            alpha, icnt = op
+            return tuple(alpha), icnt, zeros, ful
+
+        tile_live = jnp.any(ful < 0.5)
+        alpha, icnt, loss, ok = jax.lax.cond(
+            tile_live, live, skip,
+            (tuple(a0_ref[j] for j in range(J)), zeros),
+        )
+        for j in range(J):
+            out_alpha_ref[j] = alpha[j]
+        out_loss_ref[:] = loss
+        out_ok_ref[:] = ok
+        out_inner_ref[:] = icnt
+
+    return round_kernel if per_round else kernel
 
 
 class PallasSolve(NamedTuple):
@@ -1311,6 +1372,75 @@ def fused_solve(
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
+
+
+class PallasRound(NamedTuple):
+    alpha: jnp.ndarray       # (J, T, B)
+    loss: jnp.ndarray        # (1, B) end-of-round loss (garbage for lanes in
+    #                          fully-fulfilled tiles — mask with fulfilled)
+    ok: jnp.ndarray          # (1, B) f32 0/1 hard-constraint check
+    inner: jnp.ndarray       # (1, B) f32 accepted steps THIS round
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "solver", "block_b", "stream_rb", "interpret"),
+)
+def fused_round(
+    cfg: PlannerConfig,
+    kv, kvt, mix,
+    alpha,                         # (J, T, B) round-start iterate
+    lam_sg, lam_jl,                # (1, B) current penalties
+    fulfilled,                     # (1, B) f32 0/1 — also the minimized init
+    lr0,                           # (1, B) round-start learning rate
+    n_r,                           # i32 scalar: inner budget this round
+    start, goal,                   # (J, B)
+    ox, oy, ow,                    # (O, B)
+    solver: str = "bls",
+    block_b: int = 128,
+    stream_rb: int = 0,
+    interpret: bool = False,
+) -> PallasRound:
+    """ONE penalty round as one kernel launch over the fleet: round-start
+    fused eval, the inner descent loop, the in-kernel hard-constraint check.
+    Penalty escalation / bookkeeping happen in XLA between launches (see
+    solvers/fleet.py::_pallas_fused_rounds_solve) — which is what makes
+    between-round lane compaction possible.  The inner budget ``n_r`` rides
+    SMEM as a runtime scalar, so all rounds share one Mosaic compilation."""
+    J, T, B = alpha.shape
+    O = ox.shape[0]
+    BT = block_b
+    assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
+    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
+                                per_round=True)
+    kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
+    full, lanes3, lanes2 = _specs(T, J, O, BT)
+    nr = jnp.asarray(n_r, jnp.int32).reshape(1, 1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        ] + _basis_specs(T, stream_rb, full) + [
+            full((J, J)),
+            lanes3(J, T), lanes2(1), lanes2(1), lanes2(1), lanes2(1),
+            lanes2(J), lanes2(J), lanes2(O), lanes2(O), lanes2(O),
+        ],
+        out_specs=(
+            lanes3(J, T), lanes2(1), lanes2(1), lanes2(1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((J, T, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        scratch_shapes=_stream_scratch_shapes(T, stream_rb),
+        interpret=interpret,
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
+    )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
+      start, goal, ox, oy, ow)
+    return PallasRound(*outs)
 
 
 class PallasEval(NamedTuple):

@@ -499,6 +499,116 @@ def _pallas_fused_solve(
     )
 
 
+def _pallas_fused_rounds_solve(
+    cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
+    solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
+    compact: Optional[bool] = None,
+) -> SolveResult:
+    """The dual solve as one fused-round kernel launch per penalty round
+    (ops/pallas_step.py::fused_round), with optional between-round LANE
+    COMPACTION for heterogeneous fleets.
+
+    Why: a kernel tile stays live until its SLOWEST lane freezes, so on
+    mixed workloads (random scenarios) scattered slow lanes pin every tile
+    live and the whole-tile freeze-skip that makes the replicated-scene
+    headline fast buys nothing (measured: 296k solves/s replicated vs 89k
+    random at 512k lanes).  Sorting lanes between rounds by the previous
+    round's accepted-step count (fulfilled lanes last) groups fast lanes
+    into tiles that freeze together and fulfilled lanes into tiles that
+    skip their remaining rounds wholesale.
+
+    Correctness: per-lane results are BITWISE invariant under lane
+    permutation — every kernel op along the lane axis is elementwise,
+    reductions run along T only, and tile membership affects only whether
+    already-frozen lanes ride a skipped round/step (an identity
+    pass-through either way).  tests/test_fleet_fused.py pins this against
+    backend='fused' exactly.  The state is gathered/unsorted in XLA between
+    launches; alpha is the only large leaf, so the extra HBM traffic is
+    ~2 r/w of the iterate per round — negligible next to the round's
+    compute at any interesting batch."""
+    from ..ops import pallas_step
+
+    if compact is None:
+        compact = cfg.lane_compaction
+    B = a0.shape[-1]
+    kv, kvt, mixm = basis.kv, basis.kv.T, basis.mix
+    start, goal = scn.start, scn.goal
+    ox = scn.obstacles[:, 0, :]
+    oy = scn.obstacles[:, 1, :]
+    ow = scn.obstacle_weight
+    inc = jnp.float32(cfg.lambda_constraint_increase)
+    sched = [float(x) for x in cfg.gd_lr]
+    inner_sched = (
+        [int(x) for x in cfg.inner_schedule]
+        if (cfg.inner_schedule is not None and cfg.fixed_iters) else None
+    )
+
+    alpha = a0
+    lam_sg = jnp.full((1, B), cfg.lambda_sg_constraint, jnp.float32)
+    lam_jl = jnp.full((1, B), cfg.lambda_jl_constraint, jnp.float32)
+    ful = jnp.zeros((1, B), jnp.float32)
+    outer = jnp.zeros((1, B), jnp.float32)
+    total_inner = jnp.zeros((1, B), jnp.float32)
+    floss = jnp.full((1, B), jnp.inf, jnp.float32)
+    perm = jnp.arange(B, dtype=jnp.int32)  # lane i holds original lane perm[i]
+    last_steps = jnp.zeros((B,), jnp.float32)
+
+    def take(x, p):
+        return jnp.take(x, p, axis=-1)
+
+    for r in range(cfg.max_outer_iteration):
+        if compact and r > 0:
+            # Sort key: previous round's accepted steps (a lane that froze
+            # fast tends to freeze fast again); fulfilled lanes to the back
+            # so they pack into whole tiles that skip rounds entirely.
+            key = jnp.where(ful[0] > 0.5, jnp.float32(jnp.inf), last_steps)
+            p = jnp.argsort(key)
+            (alpha, lam_sg, lam_jl, ful, outer, total_inner, floss,
+             start, goal, ox, oy, ow, perm, last_steps) = (
+                take(x, p) for x in (
+                    alpha, lam_sg, lam_jl, ful, outer, total_inner, floss,
+                    start, goal, ox, oy, ow, perm, last_steps,
+                )
+            )
+        lr0 = jnp.full(
+            (1, B),
+            cfg.bls_lr_start if solver == "bls"
+            else sched[min(r, len(sched) - 1)],
+            jnp.float32,
+        )
+        n_r = (inner_sched[r] if inner_sched is not None
+               else cfg.max_inner_iteration)
+        out = pallas_step.fused_round(
+            cfg, kv, kvt, mixm, alpha, lam_sg, lam_jl, ful, lr0, n_r,
+            start, goal, ox, oy, ow,
+            solver=solver, block_b=block_b, stream_rb=stream_rb,
+            interpret=interpret,
+        )
+        # Penalty-escalation bookkeeping: op-for-op the whole-solve kernel's
+        # in-kernel epilogue (same f32 arithmetic — bitwise identical).
+        was = ful
+        now = jnp.maximum(was, out.ok)
+        floss = jnp.where(was > 0.5, floss, out.loss)
+        outer = jnp.where(now > 0.5, outer, outer + 1.0)
+        lam_sg = jnp.where(now > 0.5, lam_sg, lam_sg * inc)
+        lam_jl = jnp.where(now > 0.5, lam_jl, lam_jl * inc)
+        total_inner = total_inner + out.inner
+        last_steps = out.inner[0]
+        ful = now
+        alpha = out.alpha
+
+    inv = jnp.argsort(perm)  # undo the composed permutation
+    return SolveResult(
+        alpha=alpha_from_fleet(jnp.moveaxis(take(alpha, inv), 0, 1)),
+        stats=SolveStats(
+            outer_iters=take(outer, inv)[0].astype(jnp.int32),
+            inner_iters=take(total_inner, inv)[0].astype(jnp.int32),
+            converged=take(ful, inv)[0] > 0.5,
+            final_cost=take(floss, inv)[0],
+        ),
+    )
+
+
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
@@ -767,9 +877,14 @@ def fleet_solve(
             backend = "xla"
         else:
             a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
-            solve_impl = (
-                _pallas_fused_solve if backend == "fused" else _pallas_solve
-            )
+            if backend == "fused" and cfg.lane_compaction:
+                # Heterogeneous-fleet mode: per-round kernel launches with
+                # between-round lane compaction (bitwise-equal per lane).
+                solve_impl = _pallas_fused_rounds_solve
+            elif backend == "fused":
+                solve_impl = _pallas_fused_solve
+            else:
+                solve_impl = _pallas_solve
             return solve_impl(cfg, basis, fs, a0k, plan.block_b,
                               solver=solver, stream_rb=plan.stream_rb,
                               interpret=interpret)

@@ -232,3 +232,84 @@ def test_inner_schedule_ignored_when_early_exit(setup):
         np.testing.assert_array_equal(
             np.asarray(r_plain.alpha), np.asarray(r_sched.alpha)
         ), backend
+
+
+def _assert_solve_equal(r_a, r_b):
+    np.testing.assert_array_equal(np.asarray(r_a.alpha), np.asarray(r_b.alpha))
+    np.testing.assert_array_equal(
+        np.asarray(r_a.stats.converged), np.asarray(r_b.stats.converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_a.stats.inner_iters), np.asarray(r_b.stats.inner_iters)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_a.stats.outer_iters), np.asarray(r_b.stats.outer_iters)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_a.stats.final_cost), np.asarray(r_b.stats.final_cost)
+    )
+
+
+@pytest.mark.parametrize("solver", ["bls", "gd"])
+def test_fused_rounds_driver_matches_fused_bitwise(setup, solver):
+    """The per-round kernel driver (fused_round x max_outer launches, dual
+    bookkeeping in XLA) must reproduce the whole-solve kernel BITWISE: the
+    round body is the same traced op sequence (pallas_step.run_inner) and
+    the XLA-side penalty updates are op-for-op the in-kernel epilogue."""
+    import jax.numpy as jnp
+
+    cfg, basis, scns = setup
+    r_f = fleet.fleet_solve(cfg, basis, scns, solver=solver, backend="fused",
+                            interpret=True)
+    fs = fleet.to_fleet(scns)
+    a0k = jnp.moveaxis(fleet.fleet_init_alpha(cfg, basis, fs), 1, 0)
+    r_r = fleet._pallas_fused_rounds_solve(
+        cfg, basis, fs, a0k, 128, solver=solver, interpret=True,
+        compact=False,
+    )
+    _assert_solve_equal(r_r, r_f)
+
+
+@pytest.mark.parametrize("solver", ["bls", "gd"])
+def test_lane_compaction_bitwise_invariant(setup, solver):
+    """cfg.lane_compaction re-sorts lanes between rounds; per-lane results
+    must be BITWISE identical to the whole-solve kernel (all lane ops are
+    elementwise, freeze/skip are identity pass-throughs — only tile
+    grouping, i.e. throughput, may change)."""
+    cfg, basis, scns = setup
+    r_f = fleet.fleet_solve(cfg, basis, scns, solver=solver, backend="fused",
+                            interpret=True)
+    r_c = fleet.fleet_solve(cfg.replace(lane_compaction=True), basis, scns,
+                            solver=solver, backend="fused", interpret=True)
+    _assert_solve_equal(r_c, r_f)
+
+
+def test_lane_compaction_early_exit_and_schedule(setup):
+    """Compaction under both inner-loop protocols: the early-exit while
+    semantics (n_r = max_inner_iteration + in-kernel tile early-out) and the
+    fixed per-round schedule."""
+    cfg, basis, scns = setup
+    for variant in (
+        cfg.replace(fixed_iters=False),
+        cfg.replace(inner_schedule=(4, 6)),
+    ):
+        r_f = fleet.fleet_solve(variant, basis, scns, backend="fused",
+                                interpret=True)
+        r_c = fleet.fleet_solve(variant.replace(lane_compaction=True), basis,
+                                scns, backend="fused", interpret=True)
+        _assert_solve_equal(r_c, r_f)
+
+
+def test_lane_compaction_streamed_basis(setup):
+    """Compaction composes with tiled-T streamed-basis mode (SMEM scalar +
+    ANY-space basis refs in one kernel)."""
+    import jax.numpy as jnp
+
+    cfg, basis, scns = setup
+    fs = fleet.to_fleet(scns)
+    a0k = jnp.moveaxis(fleet.fleet_init_alpha(cfg, basis, fs), 1, 0)
+    r_res = fleet._pallas_fused_rounds_solve(
+        cfg, basis, fs, a0k, 128, interpret=True, compact=True)
+    r_str = fleet._pallas_fused_rounds_solve(
+        cfg, basis, fs, a0k, 128, stream_rb=25, interpret=True, compact=True)
+    _assert_solve_equal(r_str, r_res)
