@@ -159,13 +159,16 @@ class PlannerConfig:
     # choose_block_b), which also raises the kernel's vmem limit for large
     # problems so no legal choice can OOM at compile time.
     pallas_block_b: int = 0
-    # Between-round lane compaction for heterogeneous fleets (backend
-    # 'fused' only): run the dual loop as one fused-round kernel launch per
-    # penalty round and re-sort lanes between rounds by the previous round's
+    # Lane compaction for heterogeneous fleets (backend 'fused' only): run
+    # the dual loop as one fused-round kernel launch per penalty round and
+    # re-sort lanes ONCE, after round 0, by that round's observed
     # accepted-step count (fulfilled lanes packed last).  A kernel tile
     # stays live until its SLOWEST lane freezes, so grouping
     # similar-convergence lanes lets tiles freeze (and fulfilled tiles skip
     # whole rounds) instead of being pinned live by scattered stragglers.
+    # One resort is the measured sweet spot: TPU lane permutation is
+    # expensive and later resorts add no signal (policy table in
+    # solvers/fleet.py::_pallas_fused_rounds_solve).
     # Per-lane results are BITWISE identical to the whole-solve kernel (all
     # lane ops are elementwise; freeze/skip are identity pass-throughs) —
     # only throughput changes.  Pointless for replicated-scene batches

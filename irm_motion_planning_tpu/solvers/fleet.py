@@ -512,10 +512,24 @@ def _pallas_fused_rounds_solve(
     mixed workloads (random scenarios) scattered slow lanes pin every tile
     live and the whole-tile freeze-skip that makes the replicated-scene
     headline fast buys nothing (measured: 296k solves/s replicated vs 89k
-    random at 512k lanes).  Sorting lanes between rounds by the previous
-    round's accepted-step count (fulfilled lanes last) groups fast lanes
-    into tiles that freeze together and fulfilled lanes into tiles that
-    skip their remaining rounds wholesale.
+    random at 512k lanes).  Sorting lanes by the FIRST round's observed
+    accepted-step count (fulfilled lanes last) groups fast lanes into tiles
+    that freeze together and fulfilled lanes into tiles that skip their
+    remaining rounds wholesale.
+
+    Policy — resort ONCE, after round 0 (all measured on v5e, 512k random
+    scenes, the bench schedule): lane permutation on TPU is expensive (an
+    isolated 512k-index gather on (J,T,B) takes seconds; even as-lowered
+    inside this program one sort+permute costs ~100 ms), while the sort
+    key barely improves with repetition — resort-every-round 76.5k
+    solves/s, after rounds 0+1+2 88.7k, after rounds 0+3 94.6k, after
+    round 0 only 94.8k vs 89.2k unsorted; an oracle presort by the final
+    per-lane step counts bounds the ceiling at 100.5k.  Round 0 carries
+    the signal: it has the largest budget, and its observed step count
+    predicts a lane's later behavior better than any cheap a-priori key
+    (initial-loss host presort: 94.5k, corr(init_loss, steps) = 0.09 — its
+    gain comes from loss-scale tile homogeneity shortening the shared
+    Armijo ladder, a second, independent mechanism).
 
     Correctness: per-lane results are BITWISE invariant under lane
     permutation — every kernel op along the lane axis is elementwise,
@@ -557,10 +571,11 @@ def _pallas_fused_rounds_solve(
         return jnp.take(x, p, axis=-1)
 
     for r in range(cfg.max_outer_iteration):
-        if compact and r > 0:
-            # Sort key: previous round's accepted steps (a lane that froze
+        if compact and r == 1:
+            # Sort key: round 0's observed accepted steps (a lane that froze
             # fast tends to freeze fast again); fulfilled lanes to the back
             # so they pack into whole tiles that skip rounds entirely.
+            # ONE resort only — see the policy note in the docstring.
             key = jnp.where(ful[0] > 0.5, jnp.float32(jnp.inf), last_steps)
             p = jnp.argsort(key)
             (alpha, lam_sg, lam_jl, ful, outer, total_inner, floss,

@@ -313,3 +313,17 @@ def test_lane_compaction_streamed_basis(setup):
     r_str = fleet._pallas_fused_rounds_solve(
         cfg, basis, fs, a0k, 128, stream_rb=25, interpret=True, compact=True)
     _assert_solve_equal(r_str, r_res)
+
+
+def test_lane_compaction_crosses_tiles(setup):
+    """256 lanes at block_b=128 (2 tiles): the between-round re-sort moves
+    lanes ACROSS tile boundaries (the single-tile cases above only permute
+    within one tile) — results must still be bitwise invariant."""
+    cfg, basis, _ = setup
+    cfg2 = cfg.replace(pallas_block_b=128)
+    scns = mp.random_scenarios(cfg2, jax.random.PRNGKey(3), 256)
+    r_f = fleet.fleet_solve(cfg2, basis, scns, backend="fused",
+                            interpret=True)
+    r_c = fleet.fleet_solve(cfg2.replace(lane_compaction=True), basis, scns,
+                            backend="fused", interpret=True)
+    _assert_solve_equal(r_c, r_f)
