@@ -53,9 +53,23 @@ def summarize(cfg, basis, scns, res):
 
     avg, mx, err = jax.vmap(lane_stats)(res.alpha, scns)
     conv = res.stats.converged
+    # Certification of the converged flags (VERDICT r3 #1): re-evaluate
+    # every lane's final alpha EXACTLY (fleet_evaluate from alpha — the
+    # reference's constraint protocol, ref trajectory.py:129-137) and count
+    # phantom convergences (flag set, exact check violated).  With
+    # config.exact_constraint_eval=True this must be 0; False reproduces the
+    # round-3 linearized-carry behavior for A/B measurement.
+    ok_exact = jax.jit(fleet.fleet_constraints, static_argnums=0)(
+        cfg, basis, fleet.to_fleet(scns), fleet.alpha_to_fleet(res.alpha)
+    )
+    phantom = jnp.logical_and(conv, jnp.logical_not(ok_exact))
     q = lambda x, p: float(jnp.percentile(x, p))
     return {
         "converged_frac": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+        "exact_converged_frac": round(
+            float(jnp.mean(ok_exact.astype(jnp.float32))), 4),
+        "phantom_frac": round(
+            float(jnp.mean(phantom.astype(jnp.float32))), 5),
         "avg_cost_mean": round(float(jnp.mean(avg)), 4),
         "avg_cost_p50": round(q(avg, 50), 4),
         "avg_cost_p90": round(q(avg, 90), 4),
@@ -85,6 +99,11 @@ def main():
                    help="in-kernel reciprocal refinement (the xla backend "
                         "ignores it — exact divides — so xla,fused with "
                         "False gates the raw hw approximation)")
+    p.add_argument("--exact-constraint-eval",
+                   type=lambda x: str(x).lower() == "true", default=True,
+                   help="False = round-3 behavior (kernel constraint checks "
+                        "on the linearized carried trajectory) for A/B "
+                        "phantom-rate measurement")
     p.add_argument("--tol-conv", type=float, default=0.02,
                    help="max allowed converged-fraction gap vs first backend "
                         "(absolute floor; the effective bound is "
@@ -111,6 +130,7 @@ def main():
     cfg = mp.PlannerConfig(
         bls_mode="ladder", fixed_iters=True,
         recip_newton=args.recip_newton, ladder_eval=args.ladder_eval,
+        exact_constraint_eval=args.exact_constraint_eval,
         **sched_kw,
     )
     basis = mp.make_basis(cfg)

@@ -175,6 +175,25 @@ class PlannerConfig:
     # (lanes are already in lockstep); measured on random scenarios in
     # docs/REPORT.md §9.
     lane_compaction: bool = False
+    # Check the hard constraints on the EXACTLY-evaluated trajectory at each
+    # penalty-round end, like the reference (ref: trajectory.py:129-137 runs
+    # constraintsFulfilled on evaluate(alpha)).  Only the BLS linearized
+    # ladder carries an approximate (traj, vel) — the affine-combination
+    # accumulation over a round's inner steps — so for that path the kernel
+    # engines re-run the forward basis GEMMs from alpha (one extra forward
+    # per penalty round, <1% of a round's compute) before constraints_ok;
+    # all other paths (GD, exact ladder, the XLA fleet) already evaluate
+    # exactly and ignore this flag.  False = round-3 behavior (constraints
+    # on the linearized carried trajectory): measured on TPU (32k random
+    # scenes, bench schedule, benchmarks/quality.py --exact-constraint-eval
+    # false) that certifies 8.2% of ALL lanes as converged while their
+    # exact evaluation VIOLATES the constraints — 30% of the kernels'
+    # claimed 27.5% convergence was phantom, and QUALITY_SWEEP_r03's
+    # +2.9-pt "surplus" was its net effect.  With True: phantom rate
+    # exactly 0, kernels 25.99% converged (exact) vs xla 24.59% — the
+    # residual +1.4 pt is genuine fp-path difference in certified-real
+    # convergences.  Kept only as an A/B measurement knob.
+    exact_constraint_eval: bool = True
     # Refine the in-kernel approximate reciprocal with one Newton step
     # (~1.4e-5 relative error; False = raw hardware approximation, ~2^-12).
     # Both sit below the 5e-3 cross-engine fp noise floor.  Default False:

@@ -1147,12 +1147,22 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     # ladder evaluates FK at every rung, so the accepted rung's tangent
     # planes ride the VMEM-resident state instead of being recomputed.
     carry_fk = solver == "bls" and cfg.ladder_eval == "linearized"
+    # Exact end-of-round evaluation for the constraint check (see
+    # config.exact_constraint_eval): only the linearized BLS path carries an
+    # approximate (traj, vel) — GD and the exact ladder evaluate the forward
+    # GEMMs at every accepted iterate, so re-evaluating there would be a
+    # bitwise no-op paid for nothing.
+    exact_cc = carry_fk and cfg.exact_constraint_eval
 
     def run_inner(bas, mix, start, goal, obs,
                   alpha, lam_sg, lam_jl, minimized, lr0, n_r, icnt):
         """Round-start fused eval + the inner descent loop.  Shared by the
         whole-solve and per-round kernels — the op sequence (and therefore
-        the fp path) is identical in both."""
+        the fp path) is identical in both.  With ``exact_cc`` the returned
+        (traj, vel) are re-evaluated exactly from the final alpha (the
+        linearized carry drifts ~1e-3 over a round's steps — enough to flip
+        converged flags at the sharp eps thresholds, ref checks constraints
+        on evaluate(alpha): trajectory.py:129-137)."""
         # per-round fused re-evaluation under the current penalties
         loss, grad, traj, vel, px, py = body.cost_grad_eval(
             bas, mix, list(alpha), start, goal, obs,
@@ -1199,6 +1209,9 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
             + (loss, lr0, minimized, icnt)
         )
         s = jax.lax.fori_loop(0, n_r, istep, s0)
+        if exact_cc:
+            tr, ve = body.forward_planes(bas, mix, list(s[0]))
+            return s[0], tr, ve, s[-4], s[-1]
         return s[0], s[2], s[3], s[-4], s[-1]  # alpha, traj, vel, loss, icnt
 
     def kernel(
@@ -1441,6 +1454,81 @@ def fused_round(
     )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
       start, goal, ox, oy, ow)
     return PallasRound(*outs)
+
+
+def _make_forward_kernel(cfg: PlannerConfig, T: int, J: int, BT: int,
+                         stream_rb: int = 0):
+    """Forward evaluation only: alpha -> (traj, vel) through the basis GEMMs
+    (body.forward_planes — the same op sequence as the solve kernels', so
+    the planes are bitwise-equal to an in-kernel re-evaluation)."""
+    body = _Body(cfg, T, J, 1, BT, stream_rb)
+
+    def kernel(kv_ref, mix_ref, alpha_ref, traj_ref, vel_ref, *scratch):
+        if stream_rb:
+            bas = _BasisHandles(kv_ref, None, scratch[0], None, scratch[1],
+                                None)
+        else:
+            bas = _BasisHandles(kv_ref[:], None)
+        nt, nv = body.forward_planes(
+            bas, mix_ref[:], [alpha_ref[j] for j in range(J)]
+        )
+        for j in range(J):
+            traj_ref[j] = nt[j]
+            vel_ref[j] = nv[j]
+
+    return kernel
+
+
+class PallasForward(NamedTuple):
+    traj: jnp.ndarray   # (J, T, B)
+    vel: jnp.ndarray    # (J, T, B)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_b", "stream_rb", "interpret")
+)
+def forward_eval(
+    cfg: PlannerConfig,
+    kv, mix,
+    alpha,                         # (J, T, B)
+    block_b: int = 128,
+    stream_rb: int = 0,
+    interpret: bool = False,
+) -> PallasForward:
+    """Exact trajectory evaluation at alpha (kernel layout).  Used by the
+    per-step backend for the end-of-round exact constraint check (see
+    config.exact_constraint_eval); the fused kernels re-evaluate in-kernel
+    instead (pallas_step.run_inner)."""
+    J, T, B = alpha.shape
+    BT = block_b
+    assert B % BT == 0
+    kernel = _make_forward_kernel(cfg, T, J, BT, stream_rb)
+    if stream_rb:
+        kv = jnp.pad(kv, ((0, 0), (0, _pad128(T) - T)))
+        basis_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+        scratch = [
+            pltpu.VMEM((2, stream_rb, _pad128(T)), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = []
+    full, lanes3, _ = _specs(T, J, 1, BT)
+    if not stream_rb:
+        basis_spec = [full((2 * T, T))]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=basis_spec + [full((J, J)), lanes3(J, T)],
+        out_specs=(lanes3(J, T), lanes3(J, T)),
+        out_shape=(
+            jax.ShapeDtypeStruct((J, T, B), jnp.float32),
+            jax.ShapeDtypeStruct((J, T, B), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
+    )(kv, mix, alpha)
+    return PallasForward(*outs)
 
 
 class PallasEval(NamedTuple):

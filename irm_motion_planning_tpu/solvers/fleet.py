@@ -643,6 +643,17 @@ def _pallas_solve(
         "gd": pallas_step.gd_inner_step,
     }[solver]
     gd_schedule = jnp.asarray(cfg.gd_lr, dtype=jnp.float32)
+    # Exact end-of-round constraint evaluation (config.exact_constraint_eval;
+    # ref: trajectory.py:129-137 checks constraints on evaluate(alpha)): the
+    # kernel state's (traj, vel) are the linearized carry in BLS linearized
+    # mode, so the constraint check re-evaluates alpha through the forward
+    # kernel (bitwise the fused kernels' in-kernel re-evaluation — same
+    # body.forward_planes op sequence).  GD / exact ladder carry exact
+    # planes already.
+    exact_cc = (
+        solver == "bls" and cfg.ladder_eval == "linearized"
+        and cfg.exact_constraint_eval
+    )
 
     def inner_round(alpha, lam_sg, lam_jl, skip, outer_iter, round_idx=None):
         """One penalty round.  ``skip`` lanes (already fulfilled) are frozen
@@ -697,6 +708,12 @@ def _pallas_solve(
                 state0,
             )
         al, _, tr, ve, lo, _, _, iters, _ = final
+        if exact_cc:
+            fw = pallas_step.forward_eval(
+                cfg, basis.kv, basis.mix, al,
+                block_b=block_b, stream_rb=stream_rb, interpret=interpret,
+            )
+            tr, ve = fw.traj, fw.vel
         return al, tr, ve, iters, lo[0]
 
     inc = jnp.float32(cfg.lambda_constraint_increase)
@@ -861,6 +878,15 @@ def fleet_solve(
             "bls_mode='sequential' is not supported by the fleet engine; "
             "use bls_mode='ladder' (same trial sequence) or the vmap engine"
         )
+    if cfg.lane_compaction and backend != "fused":
+        # Same stance as bls_mode='sequential' above: never silently ignore
+        # a requested semantic/performance mode.  Compaction is a per-round
+        # fused-kernel driver feature; the per-step and XLA engines have no
+        # round-boundary state in HBM to re-sort.
+        raise ValueError(
+            f"lane_compaction=True requires backend='fused' (got "
+            f"{backend!r}); unset it or switch backends"
+        )
     fs = to_fleet(scenarios)
     B = scenarios.start.shape[0]
     if alpha0 is None:
@@ -886,7 +912,10 @@ def fleet_solve(
                 f"pallas backends infeasible for T={cfg.n_timesteps}, "
                 f"B={B} (scoped-VMEM estimate over cap even with the "
                 f"streamed basis, or no legal lane tile); falling back to "
-                f"backend='xla'",
+                f"backend='xla'"
+                + (" — lane_compaction is DROPPED on this path (it is a "
+                   "fused-kernel driver feature)" if cfg.lane_compaction
+                   else ""),
                 stacklevel=2,
             )
             backend = "xla"

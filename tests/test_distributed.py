@@ -28,7 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
 
 
-def _spawn(n, port, outdir, timeout=240):
+def _spawn(n, port, outdir, timeout=240, backend="xla"):
     procs = []
     for i in range(n):
         env = dict(
@@ -38,7 +38,8 @@ def _spawn(n, port, outdir, timeout=240):
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
         )
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(n), str(port), outdir],
+            [sys.executable, WORKER, str(i), str(n), str(port), outdir,
+             backend],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         ))
@@ -46,9 +47,15 @@ def _spawn(n, port, outdir, timeout=240):
     return [(p.returncode, o, e) for p, (o, e) in zip(procs, outs)]
 
 
-def test_two_process_cluster_matches_single_process(tmp_path):
-    # pid-derived port: avoid collisions with concurrent runs / TIME_WAIT
-    results = _spawn(2, 40000 + os.getpid() % 20000, str(tmp_path))
+@pytest.mark.parametrize("backend", ["xla", "fused"])
+def test_two_process_cluster_matches_single_process(tmp_path, backend):
+    """Both fleet backends cross the process boundary: 'xla' and 'fused'
+    (shard_map x pallas_call x multi-process gloo — the production kernel
+    composition, interpret mode on CPU)."""
+    # pid+backend-derived port: avoid collisions with concurrent runs /
+    # TIME_WAIT (the two parametrizations run back to back).
+    port = 40000 + (os.getpid() + (0 if backend == "xla" else 1)) % 20000
+    results = _spawn(2, port, str(tmp_path), backend=backend)
     for rc, out, err in results:
         assert rc == 0, err[-3000:]
 
@@ -84,13 +91,15 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     cfg = mp.PlannerConfig(
         n_timesteps=16, fixed_iters=True,
         max_inner_iteration=3, max_outer_iteration=2, max_bls_iteration=4,
+        pallas_block_b=2,
     )
     basis = mp.make_basis(cfg)
     mesh = meshlib.make_mesh(jax.devices()[:4])
     scns = mp.random_scenarios(cfg, jax.random.PRNGKey(3), 8)
     scns = meshlib.shard_batch(mesh, scns)
     run = sharded.make_shard_map_solver(cfg, basis, mesh, engine="fleet",
-                                        backend="xla")
+                                        backend=backend,
+                                        interpret=backend != "xla")
     res, stats = run(scns)
     np.testing.assert_allclose(alpha, np.asarray(res.alpha), rtol=1e-6,
                                atol=1e-6)

@@ -135,6 +135,31 @@ def test_exact_ladder_parity_across_kernels(setup):
     )
 
 
+def test_converged_flags_certified_by_exact_evaluation(setup):
+    """VERDICT r3 #1: a kernel-engine 'converged' flag must mean the
+    reference's thing — the hard constraints hold on the EXACTLY-evaluated
+    final trajectory (ref: trajectory.py:129-137), not on the linearized
+    carry accumulated over a round's inner steps.  Zero phantom
+    convergences, per backend, on random scenes."""
+    cfg, basis, scns = setup
+    # Realistic budgets so lanes actually converge (the module fixture's
+    # 6x2 leaves ~0 converged lanes — nothing to certify).
+    cfg = cfg.replace(max_inner_iteration=25, max_outer_iteration=4)
+    fs = fleet.to_fleet(scns)
+    for backend in ("fused", "pallas"):
+        res = fleet.fleet_solve(cfg, basis, scns, backend=backend,
+                                interpret=True)
+        ok_exact = fleet.fleet_constraints(
+            cfg, basis, fs, fleet.alpha_to_fleet(res.alpha)
+        )
+        conv = np.asarray(res.stats.converged)
+        phantom = conv & ~np.asarray(ok_exact)
+        assert conv.any(), "budget too small: no converged lanes to certify"
+        assert not phantom.any(), (
+            f"{backend}: {phantom.sum()} phantom convergences"
+        )
+
+
 def _kernel_args(cfg, basis, scns):
     import jax.numpy as jnp
 
@@ -313,6 +338,17 @@ def test_lane_compaction_streamed_basis(setup):
     r_str = fleet._pallas_fused_rounds_solve(
         cfg, basis, fs, a0k, 128, stream_rb=25, interpret=True, compact=True)
     _assert_solve_equal(r_str, r_res)
+
+
+def test_lane_compaction_rejected_on_non_fused_backends(setup):
+    """cfg.lane_compaction is a fused-kernel driver feature; requesting it
+    with another backend must fail loudly, not be silently ignored."""
+    cfg, basis, scns = setup
+    cfg = cfg.replace(lane_compaction=True)
+    for backend in ("xla", "pallas"):
+        with pytest.raises(ValueError, match="lane_compaction"):
+            fleet.fleet_solve(cfg, basis, scns, backend=backend,
+                              interpret=backend != "xla")
 
 
 def test_lane_compaction_crosses_tiles(setup):
