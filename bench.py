@@ -97,6 +97,10 @@ def main():
                         "computes.  Raise it for runtime-varying scenes")
     p.add_argument("--ladder-eval", choices=["linearized", "exact"],
                    default="linearized")
+    p.add_argument("--ladder-unroll", type=int, default=2,
+                   help="first k Armijo rungs branch-free before the "
+                        "early-exit while ladder (config.bls_ladder_unroll; "
+                        "bitwise-neutral, throughput-only)")
     p.add_argument("--quality-tol", type=float, default=0.02,
                    help="gate: allowed relative avg/max-cost excess over the "
                         "reference's final costs at this exact config")
@@ -133,6 +137,7 @@ def main():
         max_obstacles=args.max_obstacles,
         ladder_eval=args.ladder_eval,
         lane_compaction=args.lane_compaction,
+        bls_ladder_unroll=args.ladder_unroll,
         **sched_kw,
     )
     basis = mp.make_basis(cfg)

@@ -175,6 +175,16 @@ class PlannerConfig:
     # (lanes are already in lockstep); measured on random scenarios in
     # docs/REPORT.md §9.
     lane_compaction: bool = False
+    # Run the first k Armijo rungs of the in-kernel BLS ladder BRANCH-FREE
+    # before entering the early-exit while-loop (0 = all rungs in the loop).
+    # Measured bench-schedule ladder-exit distribution (reference scene):
+    # p50 = 1 rung, 79% of steps exit by rung 2, mean 3.19 — so unroll=2
+    # lets most steps skip the Mosaic while-loop (and its per-iteration
+    # carry/select overhead) at the cost of computing one extra rung body
+    # on rung-1 exits.  Bitwise-neutral: the unrolled rungs run the same op
+    # sequence as the loop body (pallas_step.rung_eval), and rungs after
+    # the first Armijo pass only feed found-masked selects.
+    bls_ladder_unroll: int = 2
     # Check the hard constraints on the EXACTLY-evaluated trajectory at each
     # penalty-round end, like the reference (ref: trajectory.py:129-137 runs
     # constraintsFulfilled on evaluate(alpha)).  Only the BLS linearized

@@ -618,17 +618,11 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         dir_t = [cfg.lambda_reg * traj[j] + gtraj[j] for j in range(J)]
         dir_v = [cfg.lambda_reg * vel[j] + gvel[j] for j in range(J)]
 
-    # Ladder as an early-exiting loop: rungs are tried in the same order as
-    # the sequential reference; the loop ends as soon as every live lane in
-    # the tile has its first Armijo pass.
-    def ladder_cond(c):
-        r, found = c[0], c[2]
-        want = jnp.logical_and(found == 0.0, jnp.logical_not(frozen))
-        return jnp.logical_and(r < n, jnp.any(want))
-
-    def ladder_body(c):
-        r, rung, found, lr_best, loss_best = c[:5]
-        lr_r = bls_lr * rung
+    def rung_eval(c, lr_r):
+        """One Armijo rung on ladder carry ``c`` (without the r/rung
+        counters): identical op sequence whether unrolled or in the
+        while-loop body, so cfg.bls_ladder_unroll is bitwise-neutral."""
+        found, lr_best, loss_best = c[:3]
         if linearized:
             cand_t = [traj[j] - lr_r * dir_t[j] for j in range(J)]
             cand_v = [vel[j] - lr_r * dir_v[j] for j in range(J)]
@@ -647,22 +641,27 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         ok = jnp.logical_and(closs <= required, found == 0.0)
         okf = ok.astype(jnp.float32)
         out = (
-            r + 1,
-            rung * cfg.bls_beta_minus,
             jnp.maximum(found, okf),
             lr_best + okf * lr_r,
             jnp.where(ok, closs, loss_best),
         )
         if carry_fk:
             out = out + (
-                tuple(jnp.where(ok, cpx[j], c[5][j]) for j in range(J)),
-                tuple(jnp.where(ok, cpy[j], c[6][j]) for j in range(J)),
+                tuple(jnp.where(ok, cpx[j], c[3][j]) for j in range(J)),
+                tuple(jnp.where(ok, cpy[j], c[4][j]) for j in range(J)),
             )
         return out
 
-    ladder_init = (
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(1.0, jnp.float32),
+    # Ladder as an early-exiting loop: rungs are tried in the same order as
+    # the sequential reference; the loop ends as soon as every live lane in
+    # the tile has its first Armijo pass.  The first ``unroll`` rungs run
+    # BRANCH-FREE before the loop (see config.bls_ladder_unroll): most steps
+    # accept by rung 2 (measured bench-schedule distribution: p50 = 1,
+    # 79% <= 2, mean 3.19), so they skip the while-loop — and its Mosaic
+    # per-iteration carry/select overhead — entirely.
+    unroll = min(cfg.bls_ladder_unroll, n)
+
+    c = (
         jnp.zeros((1, BT), jnp.float32),
         jnp.zeros((1, BT), jnp.float32),
         loss,
@@ -670,11 +669,37 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     if carry_fk:
         # init = the incoming iterate's FK: exactly right for lanes where no
         # rung passes (lr_eff = 0 keeps the iterate bitwise unchanged).
-        ladder_init = ladder_init + (tuple(px), tuple(py))
-    res = jax.lax.while_loop(ladder_cond, ladder_body, ladder_init)
-    found, lr_best, loss_best = res[2], res[3], res[4]
+        c = c + (tuple(px), tuple(py))
+
+    # f32-iterated rung factors: bitwise the while-carry's repeated
+    # `rung * beta_minus` products.
+    import numpy as _np
+
+    rung_f = _np.float32(1.0)
+    for _ in range(unroll):
+        c = rung_eval(c, bls_lr * rung_f)
+        rung_f = _np.float32(rung_f * _np.float32(cfg.bls_beta_minus))
+
+    def ladder_cond(c):
+        r, found = c[0], c[2]
+        want = jnp.logical_and(found == 0.0, jnp.logical_not(frozen))
+        return jnp.logical_and(r < n, jnp.any(want))
+
+    def ladder_body(c):
+        r, rung = c[0], c[1]
+        out = rung_eval(c[2:], bls_lr * rung)
+        return (r + 1, rung * cfg.bls_beta_minus) + out
+
+    if unroll < n:
+        ladder_init = (
+            jnp.asarray(unroll, jnp.int32),
+            jnp.asarray(rung_f, jnp.float32),
+        ) + c
+        res = jax.lax.while_loop(ladder_cond, ladder_body, ladder_init)
+        c = res[2:]
+    found, lr_best, loss_best = c[0], c[1], c[2]
     if carry_fk:
-        px_c, py_c = res[5], res[6]
+        px_c, py_c = c[3], c[4]
 
     any_ok = found > 0.0
     lr_eff = jnp.where(any_ok, lr_best, 0.0)

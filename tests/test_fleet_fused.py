@@ -135,6 +135,20 @@ def test_exact_ladder_parity_across_kernels(setup):
     )
 
 
+def test_ladder_unroll_bitwise_neutral(setup):
+    """cfg.bls_ladder_unroll moves the first k Armijo rungs out of the
+    while-loop; the rung op sequence is shared (pallas_step rung_eval), so
+    results must be BITWISE identical for any k (including k = all rungs:
+    the loop disappears entirely)."""
+    cfg, basis, scns = setup
+    base = fleet.fleet_solve(cfg.replace(bls_ladder_unroll=0), basis, scns,
+                             backend="fused", interpret=True)
+    for k in (2, 3, cfg.max_bls_iteration):
+        r = fleet.fleet_solve(cfg.replace(bls_ladder_unroll=k), basis, scns,
+                              backend="fused", interpret=True)
+        _assert_solve_equal(r, base)
+
+
 def test_converged_flags_certified_by_exact_evaluation(setup):
     """VERDICT r3 #1: a kernel-engine 'converged' flag must mean the
     reference's thing — the hard constraints hold on the EXACTLY-evaluated
