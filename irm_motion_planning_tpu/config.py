@@ -37,6 +37,15 @@ _DEFAULT_GD_LR: Tuple[float, ...] = (
 # Budgeted-but-unneeded steps cost (almost) nothing: lanes freeze at the
 # loss plateau, and the Pallas kernels skip whole frozen tiles.
 #
+# BLS endpoint margin (round-4 sweep, benchmarks/schedule_sweep.py,
+# SCHED_SWEEP_r04.json): 0.0096 is the DETERMINISTIC FIXED POINT of this
+# schedule family — 24 variants land at 0.00956-0.00962 identically
+# whenever every round reaches its 1e-3 plateau; extra budget anywhere is
+# simply unused, extra MID/LATE-round *accepted* steps overshoot to
+# 0.016-0.031, and truncating any round below its plateau jumps to >=0.016.
+# There is no <=0.008 schedule within reference semantics (the plateau
+# freeze caps the pull — the same mechanism that stops GD at 0.034).
+#
 # GD (round-3 sweeps, TPU fused kernel, reference scene): the endpoint is
 # pulled by rounds 4-8, where the effective endpoint step lambda_sg*gd_lr
 # stays ~5e-4/step (lambda rises 10x per violated round while the reference
