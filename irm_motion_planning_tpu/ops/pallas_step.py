@@ -86,21 +86,31 @@ _VMEM_DEFAULT_LIMIT = 16 << 20     # Mosaic's default scoped limit
 _VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
 
 
+# Lean mode (large-T): the BLS FK carry rides both the inner fori carry and
+# the ladder while carry (2J planes each, double-buffered across loop
+# boundaries) — dropping it shrinks the per-(t, lane) live state.  Measured
+# headline value of the carry is +0.5% (REPORT §9), so trading it for a
+# higher T-ceiling is nearly free where it matters.
+_VMEM_BYTES_PER_ELT_LEAN = 300
+
+
 def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
-                        stream_rb: int = 0) -> int:
+                        stream_rb: int = 0, lean: bool = False) -> int:
     """Scoped-VMEM estimate for one kernel lane tile.
 
     ``stream_rb > 0`` is the TILED-T mode (SURVEY §5.7): the (2T, T) basis
     pair stays in HBM and only double-buffered (stream_rb, T)/(stream_rb, 2T)
     row-block scratch is VMEM-resident, so the quadratic 24*T^2 term becomes
     LINEAR in T — the per-(t, lane) state is then the only O(T) footprint
-    and the kernel ceiling moves from T~850 to the multi-thousands."""
+    and the kernel ceiling moves from T~850 to the multi-thousands.
+    ``lean`` drops the FK carry (see KernelPlan.lean)."""
     if stream_rb:
         basis = 24 * stream_rb * T  # 2x dbl-buffered (RB,T)+(RB,2T) blocks
     else:
         basis = _VMEM_BYTES_PER_T2 * T * T
+    per_elt = _VMEM_BYTES_PER_ELT_LEAN if lean else _VMEM_BYTES_PER_ELT
     return (
-        _VMEM_BYTES_PER_ELT * T * BT
+        per_elt * T * BT
         + basis
         + _VMEM_BYTES_PER_OBSTACLE * O * BT
         + _VMEM_FIXED
@@ -122,10 +132,14 @@ def choose_stream_rb(T: int) -> int:
 class KernelPlan(NamedTuple):
     """How the kernel backends run one problem size: lane-tile width plus
     the basis residency mode (stream_rb=0: (2T,T) basis pair VMEM-resident;
-    stream_rb>0: basis streamed from HBM in row blocks — tiled-T mode)."""
+    stream_rb>0: basis streamed from HBM in row blocks — tiled-T mode).
+    ``lean`` additionally drops the BLS FK carry (2J planes in both loop
+    carries) — selected only when the carrying form cannot fit, so the
+    small-T streamed==resident bitwise guarantee is untouched."""
 
     block_b: int
     stream_rb: int = 0
+    lean: bool = False
 
 
 # Mosaic's REAL scoped usage for the streamed whole-solve kernel runs ~1.5x
@@ -154,15 +168,17 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
         # Streamed row blocks must stay sublane(8)-aligned end to end.
         return None
     O = cfg.max_obstacles
-    for bt in (512, 256, 128):
-        if B % bt != 0:
-            continue
-        for rb in (choose_stream_rb(T), 128, 64):
-            if rb and (
-                estimate_vmem_bytes(T, bt, O, stream_rb=rb)
-                <= int(_VMEM_RAISED_CAP / _STREAM_LIMIT_FACTOR)
-            ):
-                return KernelPlan(bt, rb)
+    cap = int(_VMEM_RAISED_CAP / _STREAM_LIMIT_FACTOR)
+    for lean in (False, True):
+        for bt in (512, 256, 128):
+            if B % bt != 0:
+                continue
+            for rb in (choose_stream_rb(T), 128, 64):
+                if rb and (
+                    estimate_vmem_bytes(T, bt, O, stream_rb=rb, lean=lean)
+                    <= cap
+                ):
+                    return KernelPlan(bt, rb, lean)
     return None
 
 
@@ -209,7 +225,7 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
 
 
 def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
-                     stream_rb: int = 0):
+                     stream_rb: int = 0, lean: bool = False):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
     freely; the scoped-VMEM limit is raised when the estimate needs it
@@ -217,7 +233,8 @@ def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
     ~1.5x the linear estimate, see _STREAM_REAL_OVER_EST)."""
     if interpret:
         return None
-    need = estimate_vmem_bytes(T, BT, cfg.max_obstacles, stream_rb=stream_rb)
+    need = estimate_vmem_bytes(T, BT, cfg.max_obstacles, stream_rb=stream_rb,
+                               lean=lean)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
         factor = _STREAM_LIMIT_FACTOR if stream_rb else 2.0
@@ -1094,7 +1111,7 @@ def bls_inner_step(
 
 def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                        solver: str, stream_rb: int = 0,
-                       per_round: bool = False):
+                       per_round: bool = False, lean: bool = False):
     """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
     optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
     runs inside one kernel per lane tile — per-round fused re-evaluation,
@@ -1171,7 +1188,9 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     # FK carry across inner steps (see _bls_step): BLS's linearized
     # ladder evaluates FK at every rung, so the accepted rung's tangent
     # planes ride the VMEM-resident state instead of being recomputed.
-    carry_fk = solver == "bls" and cfg.ladder_eval == "linearized"
+    # ``lean`` (large-T plans) drops it: the carry is worth +0.5% throughput
+    # (REPORT §9) but 2J planes in BOTH loop carries of VMEM footprint.
+    carry_fk = solver == "bls" and cfg.ladder_eval == "linearized" and not lean
     # Exact end-of-round evaluation for the constraint check (see
     # config.exact_constraint_eval): only the linearized BLS path carries an
     # approximate (traj, vel) — GD and the exact ladder evaluate the forward
@@ -1362,7 +1381,9 @@ class PallasSolve(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "solver", "block_b", "stream_rb", "interpret"),
+    static_argnames=(
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean"
+    ),
 )
 def fused_solve(
     cfg: PlannerConfig,
@@ -1375,6 +1396,7 @@ def fused_solve(
     block_b: int = 128,
     stream_rb: int = 0,
     interpret: bool = False,
+    lean: bool = False,
 ) -> PallasSolve:
     """The whole penalty-method solve as ONE kernel launch over the fleet
     (grid over lane tiles; all state VMEM-resident for the full solve —
@@ -1384,7 +1406,8 @@ def fused_solve(
     O = ox.shape[0]
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
-    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb)
+    kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
+                                lean=lean)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
@@ -1407,7 +1430,8 @@ def fused_solve(
         ),
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
+                                         lean),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -1422,7 +1446,9 @@ class PallasRound(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "solver", "block_b", "stream_rb", "interpret"),
+    static_argnames=(
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean"
+    ),
 )
 def fused_round(
     cfg: PlannerConfig,
@@ -1438,6 +1464,7 @@ def fused_round(
     block_b: int = 128,
     stream_rb: int = 0,
     interpret: bool = False,
+    lean: bool = False,
 ) -> PallasRound:
     """ONE penalty round as one kernel launch over the fleet: round-start
     fused eval, the inner descent loop, the in-kernel hard-constraint check.
@@ -1450,7 +1477,7 @@ def fused_round(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
-                                per_round=True)
+                                per_round=True, lean=lean)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     nr = jnp.asarray(n_r, jnp.int32).reshape(1, 1)
@@ -1475,7 +1502,8 @@ def fused_round(
         ),
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
-        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb),
+        compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
+                                         lean),
     )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
       start, goal, ox, oy, ow)
     return PallasRound(*outs)

@@ -472,6 +472,7 @@ class _PallasOuter(NamedTuple):
 def _pallas_fused_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
+    lean: bool = False,
 ) -> SolveResult:
     """The whole dual solve as ONE VMEM-resident kernel launch (see
     ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
@@ -486,7 +487,7 @@ def _pallas_fused_solve(
         scn.start, scn.goal,
         scn.obstacles[:, 0, :], scn.obstacles[:, 1, :], scn.obstacle_weight,
         solver=solver, block_b=block_b, stream_rb=stream_rb,
-        interpret=interpret,
+        interpret=interpret, lean=lean,
     )
     return SolveResult(
         alpha=alpha_from_fleet(jnp.moveaxis(out.alpha, 0, 1)),
@@ -502,7 +503,7 @@ def _pallas_fused_solve(
 def _pallas_fused_rounds_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
-    compact: Optional[bool] = None,
+    compact: Optional[bool] = None, lean: bool = False,
 ) -> SolveResult:
     """The dual solve as one fused-round kernel launch per penalty round
     (ops/pallas_step.py::fused_round), with optional between-round LANE
@@ -575,8 +576,21 @@ def _pallas_fused_rounds_solve(
             # Sort key: round 0's observed accepted steps (a lane that froze
             # fast tends to freeze fast again); fulfilled lanes to the back
             # so they pack into whole tiles that skip rounds entirely.
-            # ONE resort only — see the policy note in the docstring.
-            key = jnp.where(ful[0] > 0.5, jnp.float32(jnp.inf), last_steps)
+            # Round-0 end loss breaks ties WITHIN equal step counts (a
+            # [0, 1)-scaled addend on integer-valued steps = lexicographic):
+            # loss-scale tile homogeneity shortens the shared Armijo ladder
+            # — the second, independent mechanism from round 3's
+            # initial-loss presort.  Measured v5e, 512k random scenes:
+            # steps-only 99.0k, steps+loss tie-break 100.6k solves/s —
+            # past round 3's oracle-presort bound for the steps-only
+            # mechanism (100.5k).  ONE resort only — policy table in the
+            # docstring / REPORT §9.
+            lo = jnp.where(jnp.isfinite(floss[0]), floss[0], 0.0)
+            tie = (lo - lo.min()) / (lo.max() - lo.min() + 1e-9)
+            key = jnp.where(
+                ful[0] > 0.5, jnp.float32(jnp.inf),
+                last_steps + jnp.clip(tie, 0.0, 0.999),
+            )
             p = jnp.argsort(key)
             (alpha, lam_sg, lam_jl, ful, outer, total_inner, floss,
              start, goal, ox, oy, ow, perm, last_steps) = (
@@ -597,7 +611,7 @@ def _pallas_fused_rounds_solve(
             cfg, kv, kvt, mixm, alpha, lam_sg, lam_jl, ful, lr0, n_r,
             start, goal, ox, oy, ow,
             solver=solver, block_b=block_b, stream_rb=stream_rb,
-            interpret=interpret,
+            interpret=interpret, lean=lean,
         )
         # Penalty-escalation bookkeeping: op-for-op the whole-solve kernel's
         # in-kernel epilogue (same f32 arithmetic — bitwise identical).
@@ -627,6 +641,7 @@ def _pallas_fused_rounds_solve(
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
+    lean: bool = False,
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
@@ -931,7 +946,7 @@ def fleet_solve(
                 solve_impl = _pallas_solve
             return solve_impl(cfg, basis, fs, a0k, plan.block_b,
                               solver=solver, stream_rb=plan.stream_rb,
-                              interpret=interpret)
+                              interpret=interpret, lean=plan.lean)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(

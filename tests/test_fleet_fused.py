@@ -246,13 +246,39 @@ def test_kernel_plan_selection():
     p1000 = ps.choose_kernel_plan(auto, 1000, 4096)
     assert p1000 is not None and p1000.stream_rb > 0
     assert 1000 % p1000.stream_rb == 0 and p1000.stream_rb % 8 == 0
-    # T=1200's linear estimate fit the old 1.5x headroom but Mosaic's REAL
-    # streamed usage (~1.5x the estimate, measured on-chip: 96.25 MB
-    # allocated, hard compile OOM) did not: the calibrated feasibility must
-    # route it to the XLA fallback instead of attempting the compile.
-    assert ps.choose_kernel_plan(auto, 1200, 4096) is None
-    # Far past the streamed per-lane-state ceiling: infeasible.
+    # T=1200: the carrying form's real streamed usage OOMed on-chip (round
+    # 3: 96.25 MB allocated) — the LEAN tier (FK carry dropped, smaller
+    # live state) takes over instead of falling back to XLA.
+    p1200 = ps.choose_kernel_plan(auto, 1200, 4096)
+    assert p1200 is not None and p1200.stream_rb > 0 and p1200.lean
+    # Far past even the lean per-lane-state ceiling: infeasible.
     assert ps.choose_kernel_plan(auto, 4096, 4096) is None
+
+
+def test_lean_mode_matches_carry(setup):
+    """lean=True (no FK carry) recomputes what the carry reuses — same real
+    arithmetic, ~1-2 ulp fp path (the class documented in _bls_step), so
+    results agree to tolerance and step accounting matches exactly at tiny
+    budgets."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg, basis, scns = setup
+    args = _kernel_args(cfg, basis, jax.tree_util.tree_map(
+        lambda x: x[:16], scns))
+    r0 = ps.fused_solve(*args, solver="bls", block_b=16, interpret=True)
+    r1 = ps.fused_solve(*args, solver="bls", block_b=16, interpret=True,
+                        lean=True)
+    # ~1-2 ulp per reuse compounds over the round's steps: measured 0.2% of
+    # elements off by <=1.3e-4 relative at this budget — the same fp-path
+    # class as recip/strength-reduction (below the 5e-3 cross-engine floor).
+    np.testing.assert_allclose(
+        np.asarray(r0.alpha), np.asarray(r1.alpha), rtol=1e-3, atol=1e-3
+    )
+    # Step counts are fp-path-dependent (1e-3 plateau stop below f32
+    # noise, CLAUDE.md): most lanes agree exactly, stragglers may stop a
+    # few steps apart.
+    same = np.asarray(r0.inner_iters) == np.asarray(r1.inner_iters)
+    assert same.mean() >= 0.75, same
 
 
 def test_inner_schedule_ignored_when_early_exit(setup):
