@@ -81,8 +81,12 @@ def main():
     p.add_argument("--matmul-precision",
                    choices=["default", "high", "highest"], default="highest",
                    help="basis-GEMM precision (kernel dots follow this)")
-    p.add_argument("--block-b", type=int, default=512,
-                   help="pallas lane-tile width (batch %% block_b == 0)")
+    p.add_argument("--block-b", type=int, default=None,
+                   help="pallas lane-tile width (batch %% block_b == 0). "
+                        "Default: 512 replicated (tuned round 2), 128 with "
+                        "--random-scenarios (heterogeneous lanes freeze at "
+                        "different steps; finer tiles freeze earlier — "
+                        "measured +21%% over 512 at 512k random scenes)")
     p.add_argument("--recip-newton", type=lambda x: str(x).lower() == "true",
                    default=False,
                    help="refine the in-kernel approx reciprocal (default "
@@ -117,12 +121,22 @@ def main():
     p.add_argument("--seed", type=int, default=0,
                    help="random-scenario seed (--random-scenarios only)")
     p.add_argument("--lane-compaction",
-                   type=lambda x: str(x).lower() == "true", default=False,
+                   type=lambda x: str(x).lower() == "true", default=None,
                    help="heterogeneous-fleet mode: per-round fused kernel + "
                         "between-round lane re-sorting so tiles freeze "
                         "together (bitwise-equal per lane; pointless for "
-                        "replicated scenes — pair with --random-scenarios)")
+                        "replicated scenes).  Default: ON with "
+                        "--random-scenarios on the fused backend (measured "
+                        "+12%% at the heterogeneous tile width), off "
+                        "otherwise")
     args = p.parse_args()
+
+    if args.block_b is None:
+        args.block_b = 128 if args.random_scenarios else 512
+    if args.lane_compaction is None:
+        args.lane_compaction = bool(
+            args.random_scenarios and args.backend == "fused"
+        )
 
     if args.inner is not None:
         sched_kw = dict(max_inner_iteration=args.inner)

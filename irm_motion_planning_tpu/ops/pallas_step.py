@@ -218,7 +218,13 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
                 stacklevel=2,
             )
         return bt
-    for bt in (512, 256, 128):
+    # Heterogeneous fleets (lane_compaction) prefer the FINEST tile: lanes
+    # freeze at different steps and a tile stays live until its slowest
+    # lane, so granularity beats per-tile amortization (measured v5e, 512k
+    # random scenes: 121.3k solves/s at 128 vs 100.6k at 512, while
+    # replicated-scene lockstep fleets measure fastest at 512 — REPORT §9).
+    order = (128, 256, 512) if cfg.lane_compaction else (512, 256, 128)
+    for bt in order:
         if B % bt == 0 and estimate_vmem_bytes(T, bt, O) <= _VMEM_RAISED_CAP // 2:
             return bt
     return None

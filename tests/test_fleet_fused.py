@@ -239,6 +239,9 @@ def test_kernel_plan_selection():
 
     auto = mp.PlannerConfig(pallas_block_b=0)
     assert ps.choose_kernel_plan(auto, 50, 4096) == ps.KernelPlan(512, 0)
+    # Heterogeneous (compaction) mode prefers the finest tile.
+    het = mp.PlannerConfig(pallas_block_b=0, lane_compaction=True)
+    assert ps.choose_kernel_plan(het, 50, 4096) == ps.KernelPlan(128, 0)
     assert ps.choose_kernel_plan(auto, 500, 4096) == ps.KernelPlan(128, 0)
     # T=800 was round 2's XLA-fallback wall; now streamed.
     p800 = ps.choose_kernel_plan(auto, 800, 4096)
