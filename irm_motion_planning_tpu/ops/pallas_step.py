@@ -92,10 +92,20 @@ _VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
 # headline value of the carry is +0.5% (REPORT §9), so trading it for a
 # higher T-ceiling is nearly free where it matters.
 _VMEM_BYTES_PER_ELT_LEAN = 300
+# Ultra mode (largest-T): additionally drop the carried (traj, vel) planes
+# from the inner fori carry — 2J planes, double-buffered across the loop
+# boundary.  BLS recomputes ``forward_planes(alpha)`` at step START (J
+# streamed MXU GEMMs per step — this is the EXACT evaluation, so the
+# linearized-carry drift resets every step and the end-of-round constraint
+# check is inherently exact); GD never reads the carry for compute (its
+# trial evaluates from alpha), so for GD the drop is free.  Selected only
+# when lean cannot fit.
+_VMEM_BYTES_PER_ELT_ULTRA = 240
 
 
 def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
-                        stream_rb: int = 0, lean: bool = False) -> int:
+                        stream_rb: int = 0, lean: bool = False,
+                        ultra: bool = False) -> int:
     """Scoped-VMEM estimate for one kernel lane tile.
 
     ``stream_rb > 0`` is the TILED-T mode (SURVEY §5.7): the (2T, T) basis
@@ -103,12 +113,15 @@ def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
     row-block scratch is VMEM-resident, so the quadratic 24*T^2 term becomes
     LINEAR in T — the per-(t, lane) state is then the only O(T) footprint
     and the kernel ceiling moves from T~850 to the multi-thousands.
-    ``lean`` drops the FK carry (see KernelPlan.lean)."""
+    ``lean`` drops the FK carry (see KernelPlan.lean); ``ultra``
+    additionally drops the carried (traj, vel) planes."""
     if stream_rb:
         basis = 24 * stream_rb * T  # 2x dbl-buffered (RB,T)+(RB,2T) blocks
     else:
         basis = _VMEM_BYTES_PER_T2 * T * T
-    per_elt = _VMEM_BYTES_PER_ELT_LEAN if lean else _VMEM_BYTES_PER_ELT
+    per_elt = (_VMEM_BYTES_PER_ELT_ULTRA if ultra
+               else _VMEM_BYTES_PER_ELT_LEAN if lean
+               else _VMEM_BYTES_PER_ELT)
     return (
         per_elt * T * BT
         + basis
@@ -135,11 +148,15 @@ class KernelPlan(NamedTuple):
     stream_rb>0: basis streamed from HBM in row blocks — tiled-T mode).
     ``lean`` additionally drops the BLS FK carry (2J planes in both loop
     carries) — selected only when the carrying form cannot fit, so the
-    small-T streamed==resident bitwise guarantee is untouched."""
+    small-T streamed==resident bitwise guarantee is untouched.  ``ultra``
+    further drops the carried (traj, vel) planes (BLS recomputes the exact
+    forward at each step start; GD never needed them) — the last tier
+    before the XLA fallback."""
 
     block_b: int
     stream_rb: int = 0
     lean: bool = False
+    ultra: bool = False
 
 
 # Mosaic's REAL scoped usage for the streamed whole-solve kernel runs ~1.5x
@@ -169,16 +186,17 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
         return None
     O = cfg.max_obstacles
     cap = int(_VMEM_RAISED_CAP / _STREAM_LIMIT_FACTOR)
-    for lean in (False, True):
+    for lean, ultra in ((False, False), (True, False), (True, True)):
         for bt in (512, 256, 128):
             if B % bt != 0:
                 continue
             for rb in (choose_stream_rb(T), 128, 64):
                 if rb and (
-                    estimate_vmem_bytes(T, bt, O, stream_rb=rb, lean=lean)
+                    estimate_vmem_bytes(T, bt, O, stream_rb=rb, lean=lean,
+                                        ultra=ultra)
                     <= cap
                 ):
-                    return KernelPlan(bt, rb, lean)
+                    return KernelPlan(bt, rb, lean, ultra)
     return None
 
 
@@ -231,7 +249,8 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
 
 
 def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
-                     stream_rb: int = 0, lean: bool = False):
+                     stream_rb: int = 0, lean: bool = False,
+                     ultra: bool = False):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
     freely; the scoped-VMEM limit is raised when the estimate needs it
@@ -240,7 +259,7 @@ def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
     if interpret:
         return None
     need = estimate_vmem_bytes(T, BT, cfg.max_obstacles, stream_rb=stream_rb,
-                               lean=lean)
+                               lean=lean, ultra=ultra)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
         factor = _STREAM_LIMIT_FACTOR if stream_rb else 2.0
@@ -586,7 +605,7 @@ class _Body:
 def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
               start, goal, obs, lam_sg, lam_jl,
               alpha, grad, traj, vel, loss, bls_lr, minimized,
-              px=None, py=None):
+              px=None, py=None, want_tv=True):
     """One BLS inner step on plane tuples (pure arrays, no refs): normalized
     direction, early-exiting Armijo ladder via the linearized evaluation,
     accepted step, fused cost/grad/eval at the new iterate, in-kernel lane
@@ -765,8 +784,14 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         jnp.where(frozen, grad[j], jnp.where(stop, grad[j], ngrad[j]))
         for j in range(J)
     ]
-    out_traj = [jnp.where(frozen, traj[j], nt[j]) for j in range(J)]
-    out_vel = [jnp.where(frozen, vel[j], nv[j]) for j in range(J)]
+    # ``want_tv=False`` (ultra plans): the caller does not carry (traj,
+    # vel) — it recomputes the exact forward from alpha at the next step
+    # start — so skip the frozen-lane output selects entirely.
+    if want_tv:
+        out_traj = [jnp.where(frozen, traj[j], nt[j]) for j in range(J)]
+        out_vel = [jnp.where(frozen, vel[j], nv[j]) for j in range(J)]
+    else:
+        out_traj = out_vel = None
     out_loss = jnp.where(frozen, loss, jnp.where(stop, loss_best, nloss))
     out_lr = jnp.where(frozen, bls_lr, new_lr)
     new_min = jnp.maximum(minimized, stop.astype(jnp.float32))
@@ -781,12 +806,14 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
 
 def _gd_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
              start, goal, obs, lam_sg, lam_jl,
-             alpha, grad, traj, vel, loss, lr, minimized):
+             alpha, grad, traj, vel, loss, lr, minimized, want_tv=True):
     """One GD inner step on plane tuples (ref: optimizer_GD.py:184-194: the
     stop test REJECTS the trial step).  Same signature/returns as
     :func:`_bls_step`; ``lr`` passes through unchanged.  No FK carry: GD
     evaluates FK once per step at a fresh trial point — there is no
-    duplicated evaluation to reuse."""
+    duplicated evaluation to reuse.  The trial evaluates from ``alpha``
+    directly, so ``traj``/``vel`` are only read for the frozen-lane output
+    selects — with ``want_tv=False`` (ultra plans) they may be None."""
     J = body.J
     frozen = minimized > 0.5
     a_fac = 1.0 - cfg.lambda_reg * lr
@@ -798,8 +825,11 @@ def _gd_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     keep = jnp.logical_or(frozen, stop)
     out_alpha = [jnp.where(keep, alpha[j], trial[j]) for j in range(J)]
     out_grad = [jnp.where(keep, grad[j], ngrad[j]) for j in range(J)]
-    out_traj = [jnp.where(keep, traj[j], nt[j]) for j in range(J)]
-    out_vel = [jnp.where(keep, vel[j], nv[j]) for j in range(J)]
+    if want_tv:
+        out_traj = [jnp.where(keep, traj[j], nt[j]) for j in range(J)]
+        out_vel = [jnp.where(keep, vel[j], nv[j]) for j in range(J)]
+    else:
+        out_traj = out_vel = None
     out_loss = jnp.where(keep, loss, nloss)
     new_min = jnp.maximum(minimized, stop.astype(jnp.float32))
     return out_alpha, out_grad, out_traj, out_vel, out_loss, lr, new_min
@@ -1117,7 +1147,8 @@ def bls_inner_step(
 
 def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                        solver: str, stream_rb: int = 0,
-                       per_round: bool = False, lean: bool = False):
+                       per_round: bool = False, lean: bool = False,
+                       ultra: bool = False):
     """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
     optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
     runs inside one kernel per lane tile — per-round fused re-evaluation,
@@ -1194,15 +1225,25 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
     # FK carry across inner steps (see _bls_step): BLS's linearized
     # ladder evaluates FK at every rung, so the accepted rung's tangent
     # planes ride the VMEM-resident state instead of being recomputed.
-    # ``lean`` (large-T plans) drops it: the carry is worth +0.5% throughput
-    # (REPORT §9) but 2J planes in BOTH loop carries of VMEM footprint.
-    carry_fk = solver == "bls" and cfg.ladder_eval == "linearized" and not lean
+    # ``lean``/``ultra`` (large-T plans) drop it: the carry is worth +0.5%
+    # throughput (REPORT §9) but 2J planes in BOTH loop carries of VMEM
+    # footprint.
+    linearized_bls = solver == "bls" and cfg.ladder_eval == "linearized"
+    carry_fk = linearized_bls and not (lean or ultra)
+    # ``ultra`` drops the carried (traj, vel) planes too: BLS recomputes
+    # the exact forward from alpha at each step start (the linearized drift
+    # resets every step); GD's trial evaluates from alpha, so its carry was
+    # only read for frozen-lane passthrough.
+    carry_tv = not ultra
     # Exact end-of-round evaluation for the constraint check (see
-    # config.exact_constraint_eval): only the linearized BLS path carries an
-    # approximate (traj, vel) — GD and the exact ladder evaluate the forward
+    # config.exact_constraint_eval): any LINEARIZED BLS carry — with or
+    # without the FK carry, so the lean tier included — accumulates drift
+    # over a round's steps; GD and the exact ladder evaluate the forward
     # GEMMs at every accepted iterate, so re-evaluating there would be a
-    # bitwise no-op paid for nothing.
-    exact_cc = carry_fk and cfg.exact_constraint_eval
+    # bitwise no-op paid for nothing.  Ultra plans re-derive (traj, vel)
+    # from the final alpha unconditionally (there is no carry), which is
+    # the exact evaluation by construction.
+    exact_cc = linearized_bls and carry_tv and cfg.exact_constraint_eval
 
     def run_inner(bas, mix, start, goal, obs,
                   alpha, lam_sg, lam_jl, minimized, lr0, n_r, icnt):
@@ -1234,7 +1275,7 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                         px=list(cpx), py=list(cpy),
                     )
                     carry = (tuple(opx), tuple(opy))
-                else:
+                elif carry_tv:
                     alpha, grad, traj, vel, loss, lr, minimized, icnt = sx
                     a, g, t, v, lo, nlr, mn = step_fn(
                         body, cfg, bas, mix, start, goal, obs,
@@ -1243,23 +1284,42 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                         loss, lr, minimized,
                     )
                     carry = ()
+                else:  # ultra: (traj, vel) are not carried
+                    alpha, grad, loss, lr, minimized, icnt = sx
+                    if linearized_bls:
+                        # the EXACT forward of the current iterate — the
+                        # linearized within-step update never compounds
+                        t_in, v_in = body.forward_planes(
+                            bas, mix, list(alpha)
+                        )
+                    else:
+                        t_in = v_in = None  # GD: unused (want_tv=False)
+                    a, g, _, _, lo, nlr, mn = step_fn(
+                        body, cfg, bas, mix, start, goal, obs,
+                        lam_sg, lam_jl,
+                        list(alpha), list(grad), t_in, v_in,
+                        loss, lr, minimized, want_tv=False,
+                    )
                 stepped = jnp.logical_and(
                     minimized < 0.5, mn < 0.5
                 ).astype(jnp.float32)
-                return (
-                    (tuple(a), tuple(g), tuple(t), tuple(v)) + carry
-                    + (lo, nlr, mn, icnt + stepped)
-                )
+                if carry_tv:
+                    return (
+                        (tuple(a), tuple(g), tuple(t), tuple(v)) + carry
+                        + (lo, nlr, mn, icnt + stepped)
+                    )
+                return (tuple(a), tuple(g), lo, nlr, mn, icnt + stepped)
 
             return jax.lax.cond(tile_live, do, lambda sx: sx, s)
 
         fk0 = (tuple(px), tuple(py)) if carry_fk else ()
+        tv0 = (tuple(traj), tuple(vel)) if carry_tv else ()
         s0 = (
-            (tuple(alpha), tuple(grad), tuple(traj), tuple(vel)) + fk0
+            (tuple(alpha), tuple(grad)) + tv0 + fk0
             + (loss, lr0, minimized, icnt)
         )
         s = jax.lax.fori_loop(0, n_r, istep, s0)
-        if exact_cc:
+        if exact_cc or not carry_tv:
             tr, ve = body.forward_planes(bas, mix, list(s[0]))
             return s[0], tr, ve, s[-4], s[-1]
         return s[0], s[2], s[3], s[-4], s[-1]  # alpha, traj, vel, loss, icnt
@@ -1388,7 +1448,7 @@ class PallasSolve(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean"
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean", "ultra"
     ),
 )
 def fused_solve(
@@ -1403,6 +1463,7 @@ def fused_solve(
     stream_rb: int = 0,
     interpret: bool = False,
     lean: bool = False,
+    ultra: bool = False,
 ) -> PallasSolve:
     """The whole penalty-method solve as ONE kernel launch over the fleet
     (grid over lane tiles; all state VMEM-resident for the full solve —
@@ -1413,7 +1474,7 @@ def fused_solve(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
-                                lean=lean)
+                                lean=lean, ultra=ultra)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
@@ -1437,7 +1498,7 @@ def fused_solve(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean),
+                                         lean, ultra),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -1453,7 +1514,7 @@ class PallasRound(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean"
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean", "ultra"
     ),
 )
 def fused_round(
@@ -1471,6 +1532,7 @@ def fused_round(
     stream_rb: int = 0,
     interpret: bool = False,
     lean: bool = False,
+    ultra: bool = False,
 ) -> PallasRound:
     """ONE penalty round as one kernel launch over the fleet: round-start
     fused eval, the inner descent loop, the in-kernel hard-constraint check.
@@ -1483,7 +1545,7 @@ def fused_round(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
-                                per_round=True, lean=lean)
+                                per_round=True, lean=lean, ultra=ultra)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     nr = jnp.asarray(n_r, jnp.int32).reshape(1, 1)
@@ -1509,7 +1571,7 @@ def fused_round(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean),
+                                         lean, ultra),
     )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
       start, goal, ox, oy, ow)
     return PallasRound(*outs)

@@ -472,7 +472,7 @@ class _PallasOuter(NamedTuple):
 def _pallas_fused_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
-    lean: bool = False,
+    lean: bool = False, ultra: bool = False,
 ) -> SolveResult:
     """The whole dual solve as ONE VMEM-resident kernel launch (see
     ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
@@ -487,7 +487,7 @@ def _pallas_fused_solve(
         scn.start, scn.goal,
         scn.obstacles[:, 0, :], scn.obstacles[:, 1, :], scn.obstacle_weight,
         solver=solver, block_b=block_b, stream_rb=stream_rb,
-        interpret=interpret, lean=lean,
+        interpret=interpret, lean=lean, ultra=ultra,
     )
     return SolveResult(
         alpha=alpha_from_fleet(jnp.moveaxis(out.alpha, 0, 1)),
@@ -504,6 +504,7 @@ def _pallas_fused_rounds_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
     compact: Optional[bool] = None, lean: bool = False,
+    ultra: bool = False,
 ) -> SolveResult:
     """The dual solve as one fused-round kernel launch per penalty round
     (ops/pallas_step.py::fused_round), with optional between-round LANE
@@ -611,7 +612,7 @@ def _pallas_fused_rounds_solve(
             cfg, kv, kvt, mixm, alpha, lam_sg, lam_jl, ful, lr0, n_r,
             start, goal, ox, oy, ow,
             solver=solver, block_b=block_b, stream_rb=stream_rb,
-            interpret=interpret, lean=lean,
+            interpret=interpret, lean=lean, ultra=ultra,
         )
         # Penalty-escalation bookkeeping: op-for-op the whole-solve kernel's
         # in-kernel epilogue (same f32 arithmetic — bitwise identical).
@@ -641,7 +642,7 @@ def _pallas_fused_rounds_solve(
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
-    lean: bool = False,
+    lean: bool = False, ultra: bool = False,
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
@@ -946,7 +947,8 @@ def fleet_solve(
                 solve_impl = _pallas_solve
             return solve_impl(cfg, basis, fs, a0k, plan.block_b,
                               solver=solver, stream_rb=plan.stream_rb,
-                              interpret=interpret, lean=plan.lean)
+                              interpret=interpret, lean=plan.lean,
+                              ultra=plan.ultra)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(

@@ -254,7 +254,14 @@ def test_kernel_plan_selection():
     # live state) takes over instead of falling back to XLA.
     p1200 = ps.choose_kernel_plan(auto, 1200, 4096)
     assert p1200 is not None and p1200.stream_rb > 0 and p1200.lean
-    # Far past even the lean per-lane-state ceiling: infeasible.
+    # T=1600-1800: past the lean ceiling the ULTRA tier takes over (the
+    # (traj, vel) carry dropped too; BLS recomputes the exact forward at
+    # each step start) instead of falling back to XLA.
+    p1600 = ps.choose_kernel_plan(auto, 1600, 4096)
+    assert p1600 is not None and p1600.stream_rb > 0 and p1600.ultra
+    p1800 = ps.choose_kernel_plan(auto, 1800, 4096)
+    assert p1800 is not None and p1800.ultra
+    # Far past even the ultra per-lane-state ceiling: infeasible.
     assert ps.choose_kernel_plan(auto, 4096, 4096) is None
 
 
@@ -282,6 +289,42 @@ def test_lean_mode_matches_carry(setup):
     # few steps apart.
     same = np.asarray(r0.inner_iters) == np.asarray(r1.inner_iters)
     assert same.mean() >= 0.75, same
+
+
+def test_ultra_mode(setup):
+    """ultra=True additionally drops the carried (traj, vel) planes.  GD
+    never reads the carry for compute (its trial evaluates from alpha), so
+    GD ultra must be BITWISE identical.  BLS recomputes the EXACT forward
+    at each step start instead of the linearized carry — a real fp-path
+    change (drift resets every step), so outcomes are compared as a
+    quality distribution, not per-lane (CLAUDE.md numerics invariants)."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg, basis, scns = setup
+    args = _kernel_args(cfg, basis, jax.tree_util.tree_map(
+        lambda x: x[:16], scns))
+    for solver in ("bls", "gd"):
+        r0 = ps.fused_solve(*args, solver=solver, block_b=16, interpret=True)
+        r1 = ps.fused_solve(*args, solver=solver, block_b=16, interpret=True,
+                            lean=True, ultra=True)
+        if solver == "gd":
+            np.testing.assert_array_equal(
+                np.asarray(r0.alpha), np.asarray(r1.alpha)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r0.inner_iters), np.asarray(r1.inner_iters)
+            )
+        else:
+            # measured at this budget: max |dalpha| 0.015, all converged
+            # flags equal; stop steps are fp-path-dependent at the 1e-3
+            # plateau threshold
+            np.testing.assert_allclose(
+                np.asarray(r0.alpha), np.asarray(r1.alpha),
+                rtol=0.05, atol=0.05,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(r0.fulfilled), np.asarray(r1.fulfilled)
+        )
 
 
 def test_inner_schedule_ignored_when_early_exit(setup):
