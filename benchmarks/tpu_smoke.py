@@ -135,7 +135,8 @@ def main():
         max_inner_iteration=4, max_outer_iteration=3, max_bls_iteration=8,
     )
     basis = mp.make_basis(cfg)
-    fs = fleet.to_fleet(mp.random_scenarios(cfg, jax.random.PRNGKey(3), args.batch))
+    scns64 = mp.random_scenarios(cfg, jax.random.PRNGKey(3), args.batch)
+    fs = fleet.to_fleet(scns64)
     a0 = jnp.moveaxis(fleet.fleet_init_alpha(cfg, basis, fs), 1, 0)
     kargs = (cfg, basis.kv, basis.kv.T, basis.mix, a0,
              jnp.full((1, args.batch), cfg.lambda_sg_constraint, jnp.float32),
@@ -156,6 +157,33 @@ def main():
             and bool(np.isfinite(streamed).all()),
             {"bitwise": bool(np.array_equal(resident, streamed))},
         )
+
+    # --- Per-round driver (lane_compaction) vs the whole-solve kernel,
+    # ON-CHIP: these are two separately Mosaic-compiled programs sharing
+    # one traced round body (run_inner), and the per-round driver claims
+    # per-lane BITWISE invariance under compaction (fleet.py docstring;
+    # pinned under interpret by tests/test_fleet_fused.py) — verify the
+    # claim holds across real Mosaic compilations too. ---
+    cfg_r = cfg.replace(lane_compaction=True, pallas_block_b=128)
+    rounds_res = jax.block_until_ready(
+        fleet.make_fleet_solver(cfg_r, basis, backend="fused")(scns64)
+    )
+    whole_res = jax.block_until_ready(
+        fleet.make_fleet_solver(cfg.replace(pallas_block_b=128), basis,
+                                backend="fused")(scns64)
+    )
+    bitwise = bool(np.array_equal(np.asarray(rounds_res.alpha),
+                                  np.asarray(whole_res.alpha)))
+    record(
+        "fused_rounds_compaction_bitwise_vs_whole_solve",
+        bitwise and bool(np.isfinite(np.asarray(rounds_res.alpha)).all())
+        and np.array_equal(np.asarray(rounds_res.stats.converged),
+                           np.asarray(whole_res.stats.converged)),
+        {"bitwise": bitwise,
+         "conv_equal": bool(np.array_equal(
+             np.asarray(rounds_res.stats.converged),
+             np.asarray(whole_res.stats.converged)))},
+    )
 
     # --- Kernel backends vs XLA on a random batch, distributional ---
     cfg = mp.PlannerConfig(bls_mode="ladder", fixed_iters=True,
