@@ -101,11 +101,19 @@ _VMEM_BYTES_PER_ELT_LEAN = 300
 # trial evaluates from alpha), so for GD the drop is free.  Selected only
 # when lean cannot fit.
 _VMEM_BYTES_PER_ELT_ULTRA = 240
+# GD's in-step stack is far smaller than BLS's — no Armijo ladder, no
+# per-rung candidate/FK transients.  On-chip calibration (probes in
+# PROBLEMSIZE_r04.json): T=2000/BT=128/rb=128 ultra runs (111 us/solve);
+# T=2400/rb=128 allocates 115.39 MiB and OOMs at the 112 MiB cap — real
+# usage ~366 B/(t, lane).  195 x the 1.85 planning ratio reproduces that
+# boundary: T=2200 plans (predicted real ~106 MiB), T=2400 does not (only
+# a knife-edge rb=64 fit would remain, ~0.3 MiB under the cap).
+_VMEM_BYTES_PER_ELT_ULTRA_GD = 195
 
 
 def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
                         stream_rb: int = 0, lean: bool = False,
-                        ultra: bool = False) -> int:
+                        ultra: bool = False, solver: str = "bls") -> int:
     """Scoped-VMEM estimate for one kernel lane tile.
 
     ``stream_rb > 0`` is the TILED-T mode (SURVEY §5.7): the (2T, T) basis
@@ -119,9 +127,13 @@ def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
         basis = 24 * stream_rb * T  # 2x dbl-buffered (RB,T)+(RB,2T) blocks
     else:
         basis = _VMEM_BYTES_PER_T2 * T * T
-    per_elt = (_VMEM_BYTES_PER_ELT_ULTRA if ultra
-               else _VMEM_BYTES_PER_ELT_LEAN if lean
-               else _VMEM_BYTES_PER_ELT)
+    if ultra:
+        per_elt = (_VMEM_BYTES_PER_ELT_ULTRA_GD if solver == "gd"
+                   else _VMEM_BYTES_PER_ELT_ULTRA)
+    elif lean:
+        per_elt = _VMEM_BYTES_PER_ELT_LEAN
+    else:
+        per_elt = _VMEM_BYTES_PER_ELT
     return (
         per_elt * T * BT
         + basis
@@ -180,13 +192,16 @@ _ULTRA_REAL_OVER_EST = 1.85
 _VMEM_ULTRA_CAP = 112 << 20
 
 
-def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
+def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int,
+                       solver: str = "bls"):
     """Kernel execution plan, or None if even streaming cannot fit.
 
     Preference order: VMEM-resident basis (fastest — no DMA in the inner
     loop) at the largest feasible lane tile, then the streamed/tiled-T mode
     (the O(T^2) term drops out; the remaining footprint is linear in T),
-    then None — fleet_solve falls back to the XLA backend."""
+    then the lean/ultra carried-state tiers, then None — fleet_solve falls
+    back to the XLA backend.  ``solver`` matters only for the ultra tier:
+    GD's ladder-free stack reaches much larger T than BLS's."""
     bb = choose_block_b(cfg, T, B)
     if bb is not None:
         return KernelPlan(bb, 0)
@@ -203,7 +218,7 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int):
             for rb in (choose_stream_rb(T), 128, 64):
                 if rb and (
                     estimate_vmem_bytes(T, bt, O, stream_rb=rb, lean=lean,
-                                        ultra=ultra)
+                                        ultra=ultra, solver=solver)
                     <= cap
                 ):
                     return KernelPlan(bt, rb, lean, ultra)
@@ -273,10 +288,10 @@ def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
         if ultra:
-            # measured real/estimate is 1.80 at T=1600 — give the limit the
-            # full ultra cap so the calibrated margin lives in ONE place
-            # (the chooser's _ULTRA_REAL_OVER_EST feasibility test)
-            kw["vmem_limit_bytes"] = int(min(2.0 * need, _VMEM_ULTRA_CAP))
+            # measured real/estimate is ~1.9 at T=1600 — grant ultra plans
+            # the full ultra cap so the calibrated margin lives in ONE
+            # place (the chooser's _ULTRA_REAL_OVER_EST feasibility test)
+            kw["vmem_limit_bytes"] = _VMEM_ULTRA_CAP
         else:
             factor = _STREAM_LIMIT_FACTOR if stream_rb else 2.0
             kw["vmem_limit_bytes"] = int(min(factor * need, _VMEM_RAISED_CAP))

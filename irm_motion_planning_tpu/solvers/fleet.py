@@ -916,7 +916,8 @@ def fleet_solve(
     if backend in ("pallas", "fused"):
         from ..ops import pallas_step
 
-        plan = pallas_step.choose_kernel_plan(cfg, cfg.n_timesteps, B)
+        plan = pallas_step.choose_kernel_plan(cfg, cfg.n_timesteps, B,
+                                              solver=solver)
         if plan is None:
             # Kernel backends infeasible (scoped-VMEM model says even a
             # 128-lane tile with the streamed basis would blow the raised

@@ -263,6 +263,14 @@ def test_kernel_plan_selection():
     assert p1800 is not None and p1800.ultra
     # Far past even the ultra per-lane-state ceiling: infeasible.
     assert ps.choose_kernel_plan(auto, 4096, 4096) is None
+    # Solver-aware ultra: GD's ladder-free stack measures ~366 B/(t, lane)
+    # real vs BLS's ~490 (PROBLEMSIZE_r04.json), so GD plans to T=2200
+    # where BLS is already infeasible at T=2000; T=2400 OOMed on-chip
+    # (115.39 MiB > the 112 MiB cap) and must NOT plan.
+    assert ps.choose_kernel_plan(auto, 2000, 4096, solver="bls") is None
+    p2200 = ps.choose_kernel_plan(auto, 2200, 4096, solver="gd")
+    assert p2200 is not None and p2200.ultra
+    assert ps.choose_kernel_plan(auto, 2400, 4096, solver="gd") is None
 
 
 def test_lean_mode_matches_carry(setup):
