@@ -78,6 +78,7 @@ def run_policy(cfg, basis, fs, a0k, sched, block_b, policy, shrink,
     )
     floss = jnp.full((1, B), jnp.inf, jnp.float32)
     last_steps = jnp.zeros((B,), jnp.float32)
+    tot_steps = jnp.zeros((B,), jnp.float32)
     rounds_info = []
     t_start = time.time()
     for r, n_r in enumerate(sched):
@@ -94,6 +95,7 @@ def run_policy(cfg, basis, fs, a0k, sched, block_b, policy, shrink,
             state = _take(state, p)
             floss = jnp.take(floss, p, axis=-1)
             last_steps = jnp.take(last_steps, p, axis=-1)
+            tot_steps = jnp.take(tot_steps, p, axis=-1)
         if shrink and r >= 1:
             # dense-prefix partition of live lanes, EVERY round; bucket the
             # launched batch to a multiple of block_b (power-of-two-ish).
@@ -103,6 +105,7 @@ def run_policy(cfg, basis, fs, a0k, sched, block_b, policy, shrink,
             state = _take(state, p)
             floss = jnp.take(floss, p, axis=-1)
             last_steps = jnp.take(last_steps, p, axis=-1)
+            tot_steps = jnp.take(tot_steps, p, axis=-1)
             Br = max(block_b,
                      int(np.ceil(n_live / block_b)) * block_b)
         else:
@@ -139,6 +142,7 @@ def run_policy(cfg, basis, fs, a0k, sched, block_b, policy, shrink,
         state["ful"] = now
         state["alpha"] = alpha
         last_steps = inner[0]
+        tot_steps = tot_steps + inner[0]
         if time_rounds:
             ful_h = np.asarray(now[0])
             ntile = ful_h.reshape(-1, block_b)
@@ -152,7 +156,8 @@ def run_policy(cfg, basis, fs, a0k, sched, block_b, policy, shrink,
             })
     _barrier(state["ful"])
     elapsed = time.time() - t_start
-    return elapsed, rounds_info, float(np.asarray(state["ful"]).mean())
+    return (elapsed, rounds_info, float(np.asarray(state["ful"]).mean()),
+            tot_steps)
 
 
 def main():
@@ -181,13 +186,29 @@ def main():
     _barrier(a0k)
 
     for policy in args.policies.split(","):
+        # ``oracle``: presort the INITIAL fleet by the final per-lane TOTAL
+        # accepted-step counts from an untimed discovery run (policy=none),
+        # then time policy=none on the presorted fleet — the upper bound
+        # any causal between-round compaction policy can approach.
+        run_fs, run_a0k = fs, a0k
+        run_pol = policy
+        if policy == "oracle":
+            _, _, _, tot = run_policy(cfg, basis, fs, a0k, sched,
+                                      args.block_b, "none", args.shrink)
+            perm = jnp.argsort(tot)
+            run_fs = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, perm, axis=-1)
+                if x.ndim and x.shape[-1] == args.batch else x, fs)
+            run_a0k = jnp.take(a0k, perm, axis=-1)
+            _barrier(run_a0k)
+            run_pol = "none"
         # warm-up (compiles)
-        run_policy(cfg, basis, fs, a0k, sched, args.block_b, policy,
-                   args.shrink)
+        run_policy(cfg, basis, run_fs, run_a0k, sched, args.block_b,
+                   run_pol, args.shrink)
         best, info = None, None
         for _ in range(args.repeats):
-            el, ri, ful = run_policy(
-                cfg, basis, fs, a0k, sched, args.block_b, policy,
+            el, ri, ful, _ = run_policy(
+                cfg, basis, run_fs, run_a0k, sched, args.block_b, run_pol,
                 args.shrink, time_rounds=args.rounds_detail)
             if best is None or el < best:
                 best, info = el, ri

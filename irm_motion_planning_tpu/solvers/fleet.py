@@ -646,7 +646,12 @@ def _pallas_solve(
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
-    penalty round.  State lives in kernel layout (J, T, B) throughout."""
+    penalty round.  State lives in kernel layout (J, T, B) throughout.
+
+    ``lean``/``ultra`` are accepted for dispatch uniformity but have no
+    effect here: they name solve-scope VMEM carries (FK / (traj, vel))
+    that only the whole-solve and per-round kernels hold — the per-step
+    path round-trips all state through HBM every step by design."""
     from ..ops import pallas_step
 
     ox = scn.obstacles[:, 0, :]
