@@ -941,6 +941,27 @@ def fleet_solve(
                 stacklevel=2,
             )
             backend = "xla"
+        elif backend == "pallas" and (plan.lean or plan.ultra):
+            # The lean/ultra tiers name solve-scope VMEM carries that only
+            # the whole-solve/per-round kernels hold; the per-step kernels
+            # cannot shed them, and at these problem sizes their own
+            # scoped usage is past the raised cap (the tiers exist exactly
+            # because the carrying footprint no longer fits).  Never
+            # substitute a different kernel silently — fall back to the
+            # HBM-resident XLA engine with a warning, like the
+            # plan-infeasible path above.
+            import warnings
+
+            warnings.warn(
+                f"backend='pallas' (per-step kernels) cannot run the "
+                f"{'ultra' if plan.ultra else 'lean'} plan at "
+                f"T={cfg.n_timesteps} (per-step kernels have no "
+                f"solve-scope carry to shed and would exceed the scoped-"
+                f"VMEM cap); falling back to backend='xla' — use "
+                f"backend='fused' for the large-T kernel tiers",
+                stacklevel=2,
+            )
+            backend = "xla"
         else:
             a0k = jnp.moveaxis(a0, 1, 0)  # (T,J,B) -> kernel layout (J,T,B)
             if backend == "fused" and cfg.lane_compaction:

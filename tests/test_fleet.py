@@ -195,3 +195,27 @@ def test_kernel_backend_falls_back_to_xla_when_infeasible():
         res = fleet.fleet_solve(cfg, basis, scns, backend="fused")
     assert any("falling back" in str(x.message) for x in w)
     assert np.isfinite(np.asarray(res.stats.final_cost)).all()
+
+
+def test_per_step_backend_falls_back_on_lean_ultra_plans():
+    """backend='pallas' at lean/ultra problem sizes: the per-step kernels
+    have no solve-scope carry to shed, so fleet_solve must warn and route
+    to XLA rather than hand Mosaic a program past the scoped-VMEM cap
+    (the fused backend keeps the kernel tiers)."""
+    import warnings
+
+    cfg = mp.PlannerConfig(
+        n_timesteps=1200, fixed_iters=True, max_inner_iteration=1,
+        max_outer_iteration=1, pallas_block_b=0,
+    )
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    plan = ps.choose_kernel_plan(cfg, 1200, 128)
+    assert plan is not None and plan.lean  # the premise of the guard
+    basis = mp.make_basis(cfg)
+    scns = mp.random_scenarios(cfg, jax.random.PRNGKey(0), 128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = fleet.fleet_solve(cfg, basis, scns, backend="pallas")
+    assert any("use backend='fused'" in str(x.message) for x in w)
+    assert np.isfinite(np.asarray(res.stats.final_cost)).all()
