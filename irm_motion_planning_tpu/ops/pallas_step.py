@@ -188,7 +188,14 @@ _STREAM_LIMIT_FACTOR = 1.7
 # shrinks it less than linearly.  Ultra plans therefore get their own
 # calibrated ratio AND a higher cap (v5e has 128 MiB physical VMEM; the
 # measured 104.17 MiB at T=1600 fits under 112 MiB with margin).
-_ULTRA_REAL_OVER_EST = 1.85
+# 1.9 (not the 1.80 measured at T=1600) so the T=1800 BLS plan lands on
+# the chip-validated rb=64 (736 us/solve): rb=200 there allocates
+# 118.13 MiB and OOMs, and interpolating its scratch puts rb=128 at
+# ~115 MiB — also past the cap.  The ratio IS the rung that excludes
+# both.  (Moves GD T=2200 from the validated rb=128 to rb=64 — strictly
+# less VMEM, speed-equivalent at these sizes: rb was measured
+# speed-invariant at T=1600.)
+_ULTRA_REAL_OVER_EST = 1.9
 _VMEM_ULTRA_CAP = 112 << 20
 
 
@@ -222,6 +229,23 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int,
                     <= cap
                 ):
                     return KernelPlan(bt, rb, lean, ultra)
+    # Tight ultra pass: rb=64's row-block scratch is the smallest of any
+    # streamed mode and its real/estimate ratio measures lower than the
+    # bigger blocks' (on-chip: BLS T=2000/rb=64 ultra COMPILES AND RUNS —
+    # 981 us/solve — where T=1800/rb=200 allocates 118.13 MiB and OOMs;
+    # PROBLEMSIZE_r04.json), so one more rung past the main ladder admits
+    # rb=64-only plans under the relaxed 1.7 ratio.  This is exactly the
+    # chip-validated frontier: BLS T=2000 (and nothing past it).
+    cap_tight = int(_VMEM_ULTRA_CAP / _STREAM_LIMIT_FACTOR)
+    for bt in (512, 256, 128):
+        if B % bt != 0:
+            continue
+        if (
+            estimate_vmem_bytes(T, bt, O, stream_rb=64, lean=True,
+                                ultra=True, solver=solver)
+            <= cap_tight
+        ):
+            return KernelPlan(bt, 64, True, True)
     return None
 
 

@@ -263,14 +263,23 @@ def test_kernel_plan_selection():
     assert p1800 is not None and p1800.ultra
     # Far past even the ultra per-lane-state ceiling: infeasible.
     assert ps.choose_kernel_plan(auto, 4096, 4096) is None
+    # The tight rb=64 pass admits exactly the chip-validated BLS frontier:
+    # T=2000 plans rb=64 (measured: compiles and runs, 981 us/solve) and
+    # T=1800 stays on the validated rb=64 (rb=200 there OOMed at
+    # 118.13 MiB; rb=128 interpolates past the cap too — the 1.9 ratio is
+    # the rung that excludes both).
+    assert p1800.stream_rb == 64
+    p2000 = ps.choose_kernel_plan(auto, 2000, 4096, solver="bls")
+    assert p2000 is not None and p2000.ultra and p2000.stream_rb == 64
+    assert ps.choose_kernel_plan(auto, 2200, 4096, solver="bls") is None
     # Solver-aware ultra: GD's ladder-free stack measures ~366 B/(t, lane)
-    # real vs BLS's ~490 (PROBLEMSIZE_r04.json), so GD plans to T=2200
-    # where BLS is already infeasible at T=2000; T=2400 OOMed on-chip
-    # (115.39 MiB > the 112 MiB cap) and must NOT plan.
-    assert ps.choose_kernel_plan(auto, 2000, 4096, solver="bls") is None
+    # real vs BLS's (PROBLEMSIZE_r04.json), so GD reaches further still;
+    # past its measured frontier the chooser must return None.
     p2200 = ps.choose_kernel_plan(auto, 2200, 4096, solver="gd")
     assert p2200 is not None and p2200.ultra
-    assert ps.choose_kernel_plan(auto, 2400, 4096, solver="gd") is None
+    p2400 = ps.choose_kernel_plan(auto, 2400, 4096, solver="gd")
+    assert p2400 is not None and p2400.stream_rb == 64  # measured: 148 us
+    assert ps.choose_kernel_plan(auto, 2600, 4096, solver="gd") is None
 
 
 def test_lean_mode_matches_carry(setup):
