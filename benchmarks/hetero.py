@@ -193,8 +193,14 @@ def main():
         run_fs, run_a0k = fs, a0k
         run_pol = policy
         if policy == "oracle":
+            # Discovery runs with shrink=False ALWAYS: the shrink path
+            # permutes lanes every round, so its returned tot_steps would be
+            # in the final permuted order while fs/a0k stay in the original
+            # order — argsort over it would scramble the presort and silently
+            # understate the oracle bound.  Per-lane total work is identical
+            # with or without shrink, so the restriction costs nothing.
             _, _, _, tot = run_policy(cfg, basis, fs, a0k, sched,
-                                      args.block_b, "none", args.shrink)
+                                      args.block_b, "none", shrink=False)
             perm = jnp.argsort(tot)
             run_fs = jax.tree_util.tree_map(
                 lambda x: jnp.take(x, perm, axis=-1)

@@ -299,7 +299,7 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
 
 def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
                      stream_rb: int = 0, lean: bool = False,
-                     ultra: bool = False):
+                     ultra: bool = False, solver: str = "bls"):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
     freely; the scoped-VMEM limit is raised when the estimate needs it
@@ -308,7 +308,7 @@ def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
     if interpret:
         return None
     need = estimate_vmem_bytes(T, BT, cfg.max_obstacles, stream_rb=stream_rb,
-                               lean=lean, ultra=ultra)
+                               lean=lean, ultra=ultra, solver=solver)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
         if ultra:
@@ -1553,7 +1553,7 @@ def fused_solve(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean, ultra),
+                                         lean, ultra, solver),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -1626,7 +1626,7 @@ def fused_round(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean, ultra),
+                                         lean, ultra, solver),
     )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
       start, goal, ox, oy, ow)
     return PallasRound(*outs)
