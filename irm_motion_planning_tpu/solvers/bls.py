@@ -66,22 +66,35 @@ def _ladder_search(
         (1.0 - cfg.lambda_reg * ladder)[:, None, None] * alpha
         - ladder[:, None, None] * n_grad
     )                                                             # (n, T, J)
+    # PATH CONSISTENCY: evaluate alpha itself through the SAME batched
+    # evaluation as the candidates and use that value as the Armijo
+    # baseline.  The RKHS parametrization is ill-conditioned (alpha ~1e3,
+    # trajectory ~1), so the batched-vs-unbatched fp-path difference on the
+    # same point is ~1e-4 RELATIVE — above the Armijo margin of small-lr
+    # rungs and above the 1e-3 stop threshold's noise floor.  Comparing a
+    # batched candidate loss against an unbatched baseline systematically
+    # flips near-threshold accepts: measured on 256 random scenes
+    # (early-exit, reference budgets) the cross-path ladder converged 13%
+    # of lanes vs the sequential reference's 53%; this same-path baseline
+    # restores the reference's distribution (benchmarks/certify.py).
+    cand = jnp.concatenate([cand, alpha[None]], axis=0)           # (n+1,T,J)
     cand_loss = jax.vmap(
         lambda a: total_cost(cfg, basis, scn, penalty, a)
-    )(cand)                                                       # (n,)
-    required = loss - cfg.bls_alpha * ladder * alpha_norm
-    ok = cand_loss <= required                                    # Armijo
+    )(cand)                                                       # (n+1,)
+    base_loss = cand_loss[n]
+    required = base_loss - cfg.bls_alpha * ladder * alpha_norm
+    ok = cand_loss[:n] <= required                                # Armijo
     any_ok = jnp.any(ok)
     # First passing rung == the sequential loop's exit point.
     j = jnp.argmax(ok)
     new_alpha = jnp.where(any_ok, cand[j], alpha)
-    new_loss = jnp.where(any_ok, cand_loss[j], loss)
+    new_loss = jnp.where(any_ok, cand_loss[j], base_loss)
     # Accept: lr_j * beta_plus.  Exhausted: the sequential loop leaves
     # lr = bls_lr * beta_minus**n (ref: optimizer_BLS.py:144).
     lr_exhausted = bls_lr * jnp.float32(cfg.bls_beta_minus) ** n
     new_lr = jnp.where(any_ok, ladder[j] * cfg.bls_beta_plus, lr_exhausted)
     trials = jnp.where(any_ok, j, n).astype(jnp.int32)
-    return new_alpha, new_lr, new_loss, trials
+    return new_alpha, new_lr, new_loss, base_loss, trials
 
 
 class _BlsState(NamedTuple):
@@ -113,8 +126,12 @@ def _sequential_search(
         )
 
     def body(s: _BlsState) -> _BlsState:
-        # No-op once accepted (vmap lockstep safety).
-        return freeze_when(s.obtained, s, _raw_body(s))
+        # No-op once accepted OR trial budget exhausted (vmap lockstep
+        # safety: without the exhaustion term a lane at max_bls_iteration
+        # rejects would keep shrinking lr and could accept a step the
+        # per-scene sequential semantics never try).
+        done = jnp.logical_or(s.obtained, s.bls_iter >= cfg.max_bls_iteration)
+        return freeze_when(done, s, _raw_body(s))
 
     init = _BlsState(
         obtained=jnp.asarray(False),
@@ -130,7 +147,7 @@ def _sequential_search(
         body,
         init,
     )
-    return final.alpha, final.bls_lr, final.loss, final.bls_iter
+    return final.alpha, final.bls_lr, final.loss, loss, final.bls_iter
 
 
 class _InnerState(NamedTuple):
@@ -158,13 +175,16 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
                 # (ref: optimizer_BLS.py:165-166).
                 n_grad = state.grad / jnp.linalg.norm(state.grad)
                 alpha_norm = jnp.sum(state.grad.T @ n_grad)
-                new_alpha, new_lr, new_loss, _ = search(
+                new_alpha, new_lr, new_loss, base_loss, _ = search(
                     cfg, basis, scn, penalty,
                     state.alpha, n_grad, alpha_norm, state.loss, state.bls_lr,
                 )
                 # Early stop when the whole line search couldn't reduce the
                 # loss by the threshold (ref: optimizer_BLS.py:172-178).
-                stop = state.loss - new_loss < tol
+                # base_loss is the search's OWN evaluation of the current
+                # iterate (same fp path as new_loss) so the reduction test
+                # is path-consistent — see _ladder_search.
+                stop = base_loss - new_loss < tol
                 # Gradient for the NEXT iterate (discarded when stopping).
                 next_loss, next_grad = cost_and_grad(
                     cfg, basis, scn, penalty, new_alpha
@@ -179,8 +199,16 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario):
                 )
 
             def body(state: _InnerState) -> _InnerState:
-                # No-op for already-minimized lanes (vmap lockstep safety).
-                return freeze_when(state.minimized, state, _raw_body(state))
+                # No-op for minimized AND budget-exhausted lanes: under a
+                # batched early-exit while_loop the body keeps running while
+                # ANY lane is active, so without the exhaustion term a lane
+                # at the inner cap would take extra descent steps it never
+                # gets alone (see common.py::run_dual_loop's outer freeze).
+                done = jnp.logical_or(
+                    state.minimized,
+                    state.inner_iter >= cfg.max_inner_iteration,
+                )
+                return freeze_when(done, state, _raw_body(state))
 
             init = _InnerState(
                 minimized=jnp.asarray(False),

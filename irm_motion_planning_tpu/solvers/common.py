@@ -132,11 +132,20 @@ def run_dual_loop(
         )
 
     def outer_body(state: _OuterState, round_idx=None) -> _OuterState:
-        # Freeze fulfilled lanes (no-op body) so vmapped lockstep execution
-        # preserves per-lane sequential semantics.
-        return freeze_when(
-            state.fulfilled, state, _raw_outer_body(state, round_idx)
+        # Freeze fulfilled AND budget-exhausted lanes (no-op body) so
+        # batched lockstep execution preserves per-lane sequential
+        # semantics.  The exhaustion term is load-bearing: under a batched
+        # early-exit while_loop the loop keeps running while ANY lane is
+        # active, and without it an unfulfilled lane at
+        # outer_iter == max_outer_iteration would receive EXTRA penalty
+        # rounds (lambda escalations + inner descent) that the same scene
+        # solved alone never gets — measured on 256 random scenes this
+        # inflated the batched engine's converged fraction to 77% vs the
+        # per-scene reference semantics' 53% (benchmarks/certify.py).
+        done = jnp.logical_or(
+            state.fulfilled, state.outer_iter >= cfg.max_outer_iteration
         )
+        return freeze_when(done, state, _raw_outer_body(state, round_idx))
 
     if penalty0 is None:
         penalty0 = Penalty(

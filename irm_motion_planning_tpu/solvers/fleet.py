@@ -350,10 +350,27 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 alpha_norm = jnp.sum(
                     jnp.sum(s.grad, axis=1) * jnp.sum(n_grad, axis=1), axis=0
                 )  # (B,)
-                # Rung-major candidates (T, J, n, B): the batch stays on the
-                # minor axis so every elementwise op runs full-width lanes.
+                # Rung-major candidates (T, J, n+1, B): the batch stays on
+                # the minor axis so every elementwise op runs full-width
+                # lanes.  Rung n is the ZERO-lr candidate — alpha itself,
+                # bitwise — evaluated through the SAME batched path as the
+                # real rungs; its loss is the Armijo/stop BASELINE.  The
+                # ill-conditioned parametrization amplifies batched-vs-
+                # unbatched fp-path differences on the same point to ~1e-4
+                # relative, above the margin of small-lr rungs and the 1e-3
+                # stop threshold, so a cross-path baseline (the carried
+                # s.loss from fleet_cost_grad_eval) systematically flips
+                # near-threshold accepts/stops: measured on 256 random
+                # scenes (early-exit, reference budgets, exact tier) the
+                # cross-path ladder converged 77% of lanes vs the
+                # sequential reference's 53%; the same-path baseline
+                # restores the reference's distribution
+                # (benchmarks/certify.py).
                 lrs = rungs[:, None] * s.bls_lr[None]            # (n, B)
-                a_fac = 1.0 - cfg.lambda_reg * lrs               # (n, B)
+                lrs_b = jnp.concatenate(
+                    [lrs, jnp.zeros((1,) + lrs.shape[1:], lrs.dtype)], axis=0
+                )                                                # (n+1, B)
+                a_fac = 1.0 - cfg.lambda_reg * lrs_b             # (n+1, B)
                 if cfg.ladder_eval == "linearized":
                     # LINEARIZATION: evaluation is linear in alpha, so every
                     # rung's trajectory is an affine combination of the
@@ -362,34 +379,38 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                     # basis GEMM.  Exact in real arithmetic; see
                     # config.ladder_eval for the measured fp-path trade.
                     gtraj, gvel = fleet_evaluate(cfg, basis, n_grad)
-                    cand_traj = a_fac * s.traj[:, :, None] - lrs * gtraj[:, :, None]
-                    cand_vel = a_fac * s.vel[:, :, None] - lrs * gvel[:, :, None]
+                    cand_traj = (a_fac * s.traj[:, :, None]
+                                 - lrs_b * gtraj[:, :, None])
+                    cand_vel = (a_fac * s.vel[:, :, None]
+                                - lrs_b * gvel[:, :, None])
                 else:
                     # EXACT: each rung's candidate alpha through the basis
                     # GEMMs, like the reference (ref: optimizer_BLS.py:139).
                     cand_alpha = (
                         a_fac[None, None] * s.alpha[:, :, None]
-                        - lrs[None, None] * n_grad[:, :, None]
-                    )                                            # (T, J, n, B)
+                        - lrs_b[None, None] * n_grad[:, :, None]
+                    )                                            # (T,J,n+1,B)
                     cand_traj, cand_vel = fleet_evaluate(cfg, basis, cand_alpha)
                 cand_loss = fleet_cost_from_traj(
                     cfg, scn, penalty, cand_traj, cand_vel
-                )                                                # (n, B)
-                required = s.loss[None] - cfg.bls_alpha * lrs * alpha_norm[None]
-                ok = cand_loss <= required
+                )                                                # (n+1, B)
+                base_loss = cand_loss[n]                         # (B,)
+                required = (base_loss[None]
+                            - cfg.bls_alpha * lrs * alpha_norm[None])
+                ok = cand_loss[:n] <= required
                 any_ok = jnp.any(ok, axis=0)                     # (B,)
                 j = jnp.argmax(ok, axis=0)                       # (B,)
                 lr_sel = jnp.take_along_axis(lrs, j[None], axis=0)[0]
                 lr_eff = jnp.where(any_ok, lr_sel, 0.0)          # rejected -> no step
                 new_alpha = (1.0 - cfg.lambda_reg * lr_eff) * s.alpha - lr_eff * n_grad
-                sel_loss = jnp.take_along_axis(cand_loss, j[None], axis=0)[0]
-                new_loss = jnp.where(any_ok, sel_loss, s.loss)
+                sel_loss = jnp.take_along_axis(cand_loss[:n], j[None], axis=0)[0]
+                new_loss = jnp.where(any_ok, sel_loss, base_loss)
                 new_lr = jnp.where(
                     any_ok,
                     lr_sel * cfg.bls_beta_plus,
                     s.bls_lr * jnp.float32(cfg.bls_beta_minus) ** n,
                 )
-                stop = s.loss - new_loss < tol
+                stop = base_loss - new_loss < tol
                 next_loss, next_grad, next_traj, next_vel = fleet_cost_grad_eval(
                     cfg, basis, scn, penalty, new_alpha
                 )
@@ -405,7 +426,15 @@ def _make_bls_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 )
 
             def body(s: _BlsInner) -> _BlsInner:
-                return freeze_when(s.minimized, s, _raw_body(s))
+                # Freeze minimized AND budget-exhausted lanes: the batched
+                # early-exit while_loop keeps running while any lane is
+                # active, and without the exhaustion term a capped lane
+                # would take extra steps it never gets alone (see
+                # common.py::run_dual_loop's outer freeze).
+                done = jnp.logical_or(
+                    s.minimized, s.inner_iter >= cfg.max_inner_iteration
+                )
+                return freeze_when(done, s, _raw_body(s))
 
             init = _BlsInner(
                 minimized=jnp.zeros(B, bool),
@@ -830,7 +859,15 @@ def _make_gd_inner(cfg: PlannerConfig, basis, scn: Scenario):
                 )
 
             def body(s: _GdInner) -> _GdInner:
-                return freeze_when(s.minimized, s, _raw_body(s))
+                # Freeze minimized AND budget-exhausted lanes: the batched
+                # early-exit while_loop keeps running while any lane is
+                # active, and without the exhaustion term a capped lane
+                # would take extra steps it never gets alone (see
+                # common.py::run_dual_loop's outer freeze).
+                done = jnp.logical_or(
+                    s.minimized, s.inner_iter >= cfg.max_inner_iteration
+                )
+                return freeze_when(done, s, _raw_body(s))
 
             init = _GdInner(
                 minimized=jnp.zeros(B, bool),

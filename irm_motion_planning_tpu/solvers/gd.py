@@ -71,8 +71,14 @@ def _make_inner(cfg: PlannerConfig, basis: Basis, scn: Scenario) -> "callable":
                 )
 
             def body(state: _InnerState) -> _InnerState:
-                # No-op for already-minimized lanes (vmap lockstep safety).
-                return freeze_when(state.minimized, state, _raw_body(state))
+                # No-op for minimized AND budget-exhausted lanes (batched
+                # lockstep must not grant extra steps — see
+                # common.py::run_dual_loop's outer freeze).
+                done = jnp.logical_or(
+                    state.minimized,
+                    state.inner_iter >= cfg.max_inner_iteration,
+                )
+                return freeze_when(done, state, _raw_body(state))
 
             init = _InnerState(
                 minimized=jnp.asarray(False),
