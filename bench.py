@@ -120,6 +120,12 @@ def main():
                         "and mean final cost of the batch instead")
     p.add_argument("--seed", type=int, default=0,
                    help="random-scenario seed (--random-scenarios only)")
+    p.add_argument("--quality-check-lanes", type=int, default=32768,
+                   help="heterogeneous mode: re-solve this many of the SAME "
+                        "scenes with the xla backend and gate the measured "
+                        "backend's converged fraction / mean cost against "
+                        "it (plus exact-eval phantom check).  0 disables "
+                        "(finiteness-only gate)")
     p.add_argument("--lane-compaction",
                    type=lambda x: str(x).lower() == "true", default=None,
                    help="heterogeneous-fleet mode: per-round fused kernel + "
@@ -185,13 +191,20 @@ def main():
     warm = run_to_completion()
     compile_s = time.time() - t0
     if args.random_scenarios:
-        # Heterogeneous fleet: no single reference solution to gate against;
-        # report the batch's converged fraction + mean final cost (the
-        # distributional gate lives in benchmarks/quality.py) and gate only
-        # on finiteness.
+        # Heterogeneous fleet: no single reference solution to gate against,
+        # so gate DISTRIBUTIONALLY on the same scenes (VERDICT r4 #2): a
+        # paired subsample is re-solved with the portable xla backend and
+        # the measured backend must match its converged fraction and mean
+        # final cost within the documented fp-path noise bands, and the
+        # measured backend's converged flags must be certified by exact
+        # constraint evaluation (phantom_frac ~ 0, up to a 1-ulp boundary
+        # wobble — see QUALITY_SWEEP_r04 seed 3).
         import numpy as np
 
-        conv_frac = float(jnp.mean(warm.stats.converged.astype(jnp.float32)))
+        from irm_motion_planning_tpu.solvers import fleet as fleet_mod
+
+        conv = np.asarray(warm.stats.converged)
+        conv_frac = float(conv.mean())
         mean_cost = float(jnp.mean(warm.stats.final_cost))
         quality_ok = bool(np.isfinite(mean_cost))
         quality_fields = {
@@ -203,6 +216,46 @@ def main():
             f"random scenes: converged_frac={conv_frac:.4f} "
             f"mean_final_cost={mean_cost:.4f}"
         )
+        n_check = min(args.batch, args.quality_check_lanes)
+        if n_check and args.engine == "fleet" and args.backend != "xla":
+            sub = jax.tree_util.tree_map(lambda x: x[:n_check], scns)
+            fsub = fleet_mod.to_fleet(sub)
+            alpha_sub = warm.alpha[:n_check]
+            ok_exact = np.asarray(
+                jax.jit(lambda a: fleet_mod.fleet_constraints(
+                    cfg, basis, fsub, a))(fleet_mod.alpha_to_fleet(alpha_sub))
+            )
+            phantom = float(np.mean(conv[:n_check] & ~ok_exact))
+            ref_run = fleet_mod.make_fleet_solver(
+                cfg, basis, solver=args.solver, backend="xla"
+            )
+            ref = jax.block_until_ready(ref_run(sub))
+            ref_conv = float(np.asarray(ref.stats.converged).mean())
+            ref_cost = float(jnp.mean(ref.stats.final_cost))
+            sub_conv = float(conv[:n_check].mean())
+            sub_cost = float(jnp.mean(warm.stats.final_cost[:n_check]))
+            # Bands from benchmarks/quality.py: boundary-lane flips at the
+            # sharp eps thresholds scale with the converged population.
+            conv_band = max(0.02, min(0.15 * max(ref_conv, sub_conv), 0.05))
+            cost_band = 0.01 * max(abs(ref_cost), 1e-6)
+            quality_ok = bool(
+                np.isfinite(mean_cost)
+                and phantom <= 2.0 / n_check  # <=2-lane boundary wobble
+                and abs(sub_conv - ref_conv) <= conv_band
+                and abs(sub_cost - ref_cost) <= cost_band
+            )
+            quality_fields.update({
+                "paired_check_lanes": n_check,
+                "phantom_frac": round(phantom, 6),
+                "xla_converged_frac": round(ref_conv, 4),
+                "xla_mean_final_cost": round(ref_cost, 4),
+            })
+            quality_msg += (
+                f" | paired xla check on {n_check} lanes: conv "
+                f"{sub_conv:.4f} vs {ref_conv:.4f} (band {conv_band:.3f}), "
+                f"cost {sub_cost:.4f} vs {ref_cost:.4f} (band "
+                f"{cost_band:.4f}), phantom_frac {phantom:.2e}"
+            )
     else:
         # Quality of lane 0 (all lanes identical): unpenalized obstacle
         # costs + endpoint error, comparable to the reference's final report

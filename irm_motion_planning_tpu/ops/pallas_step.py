@@ -83,6 +83,15 @@ _VMEM_BYTES_PER_T2 = 24            # basis pair + MXU scratch per T^2
 _VMEM_BYTES_PER_OBSTACLE = 16      # the 3 (O, BT) obstacle inputs + slack
 _VMEM_FIXED = 1 << 20
 _VMEM_DEFAULT_LIMIT = 16 << 20     # Mosaic's default scoped limit
+
+# Measurement-only phase ablation for the BLS step (benchmarks/epilogue.py):
+# None = production.  'dir_forward' skips the search-direction forward GEMM,
+# 'pullback' skips the end-of-step cost/grad pull-back, 'ladder1' caps the
+# Armijo ladder at one rung.  Each produces WRONG results by construction —
+# the timing delta vs None is the phase's direct on-chip cost (VERDICT r4
+# #4: turn REPORT's inferred epilogue shares into measured ones).  Read at
+# trace time; never set outside the epilogue benchmark.
+_ABLATE = None
 _VMEM_RAISED_CAP = 96 << 20        # stay clear of the 128 MB physical VMEM
 
 
@@ -688,7 +697,7 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     add a (2J planes) HBM state round-trip per step, which costs more than
     the saved VPU work at that path's ~33 FLOP/byte arithmetic intensity."""
     J, BT = body.J, body.BT
-    n = cfg.max_bls_iteration
+    n = 1 if _ABLATE == "ladder1" else cfg.max_bls_iteration
     frozen = minimized > 0.5
 
     g2 = jnp.zeros((1, BT), jnp.float32)
@@ -707,7 +716,10 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     carry_fk = linearized and px is not None
     if linearized:
         # evaluate the search direction once (evaluation is linear in alpha)
-        gtraj, gvel = body.forward_planes(bas, mix, n_grad)
+        if _ABLATE == "dir_forward":
+            gtraj, gvel = n_grad, n_grad  # WRONG math, right shapes/flow
+        else:
+            gtraj, gvel = body.forward_planes(bas, mix, n_grad)
 
         # (1 - reg*lr)*x - lr*g == x - lr*(reg*x + g): hoist the combined
         # direction so each ladder rung pays one mul+sub per plane, not two
@@ -820,7 +832,11 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         nv = [vel[j] - lr_eff * dir_v[j] for j in range(J)]
     else:
         nt, nv = body.forward_planes(bas, mix, new_alpha)
-    if carry_fk:
+    if _ABLATE == "pullback":
+        # WRONG results (stale gradient) — timing-only ablation.
+        nloss, ngrad = loss_best, grad
+        npx, npy = (list(px_c), list(py_c)) if carry_fk else (None, None)
+    elif carry_fk:
         # The accepted rung already evaluated FK and the scalar loss at this
         # iterate: reuse both (same real-arithmetic values, ~1-2 ulp fp-path
         # difference from a recompute — see the docstring).

@@ -47,14 +47,15 @@ def _spawn(n, port, outdir, timeout=240, backend="xla"):
     return [(p.returncode, o, e) for p, (o, e) in zip(procs, outs)]
 
 
-@pytest.mark.parametrize("backend", ["xla", "fused"])
+@pytest.mark.parametrize("backend", ["xla", "fused", "pallas"])
 def test_two_process_cluster_matches_single_process(tmp_path, backend):
-    """Both fleet backends cross the process boundary: 'xla' and 'fused'
-    (shard_map x pallas_call x multi-process gloo — the production kernel
-    composition, interpret mode on CPU)."""
+    """Every fleet backend the CLI can launch crosses the process boundary:
+    'xla', 'fused' (whole-solve kernel) and 'pallas' (per-step kernels) —
+    shard_map x pallas_call x multi-process gloo, interpret mode on CPU."""
     # pid+backend-derived port: avoid collisions with concurrent runs /
-    # TIME_WAIT (the two parametrizations run back to back).
-    port = 40000 + (os.getpid() + (0 if backend == "xla" else 1)) % 20000
+    # TIME_WAIT (the parametrizations run back to back).
+    off = {"xla": 0, "fused": 1, "pallas": 2}[backend]
+    port = 40000 + (os.getpid() * 3 + off) % 20000
     results = _spawn(2, port, str(tmp_path), backend=backend)
     for rc, out, err in results:
         assert rc == 0, err[-3000:]
