@@ -226,14 +226,24 @@ def main():
                     cfg, basis, fsub, a))(fleet_mod.alpha_to_fleet(alpha_sub))
             )
             phantom = float(np.mean(conv[:n_check] & ~ok_exact))
+            ref_cfg = cfg.replace(lane_compaction=False)  # fused-only knob
             ref_run = fleet_mod.make_fleet_solver(
-                cfg, basis, solver=args.solver, backend="xla"
+                ref_cfg, basis, solver=args.solver, backend="xla"
             )
             ref = jax.block_until_ready(ref_run(sub))
             ref_conv = float(np.asarray(ref.stats.converged).mean())
-            ref_cost = float(jnp.mean(ref.stats.final_cost))
             sub_conv = float(conv[:n_check].mean())
-            sub_cost = float(jnp.mean(warm.stats.final_cost[:n_check]))
+            # Compare UNPENALIZED solution quality (the blended obstacle
+            # cost of the final trajectory, the reference's own report) —
+            # the penalized stats.final_cost carries the lane's final
+            # lambda (x10 per escalation), so its mean is dominated by
+            # how many rounds unconverged lanes happened to run, not by
+            # solution quality.
+            pen0 = mp.Penalty(jnp.float32(0), jnp.float32(0))
+            qual = jax.jit(jax.vmap(
+                lambda s, a: mp.total_cost(cfg, basis, s, pen0, a)))
+            sub_cost = float(jnp.mean(qual(sub, alpha_sub)))
+            ref_cost = float(jnp.mean(qual(sub, ref.alpha)))
             # Bands from benchmarks/quality.py: boundary-lane flips at the
             # sharp eps thresholds scale with the converged population.
             conv_band = max(0.02, min(0.15 * max(ref_conv, sub_conv), 0.05))
@@ -248,12 +258,13 @@ def main():
                 "paired_check_lanes": n_check,
                 "phantom_frac": round(phantom, 6),
                 "xla_converged_frac": round(ref_conv, 4),
-                "xla_mean_final_cost": round(ref_cost, 4),
+                "mean_obstacle_cost": round(sub_cost, 4),
+                "xla_mean_obstacle_cost": round(ref_cost, 4),
             })
             quality_msg += (
                 f" | paired xla check on {n_check} lanes: conv "
                 f"{sub_conv:.4f} vs {ref_conv:.4f} (band {conv_band:.3f}), "
-                f"cost {sub_cost:.4f} vs {ref_cost:.4f} (band "
+                f"obstacle cost {sub_cost:.4f} vs {ref_cost:.4f} (band "
                 f"{cost_band:.4f}), phantom_frac {phantom:.2e}"
             )
     else:
