@@ -63,9 +63,10 @@ SCHEDULES = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=524288,
+    p.add_argument("--batch", type=int, default=1048576,
                    help="scenario lanes; throughput rises with batch "
-                        "(fixed overheads amortize; VPU fills)")
+                        "(fixed overheads amortize; VPU fills — measured "
+                        "+0.8%% from 512k to 1M, r5)")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--solver", choices=["bls", "gd"], default="bls")
     p.add_argument("--engine", choices=["fleet", "vmap"], default="fleet",

@@ -11,6 +11,9 @@ deltas are timing evidence only, see ops/pallas_step.py::_ABLATE):
   * dir_forward  — search-direction forward GEMM removed
   * pullback     — end-of-step fused cost/grad pull-back removed (the
                    gradient GEMMs + FK jacobian + obstacle gradient)
+  * fk           — the rung evaluation's 2J-sincos FK rollout removed
+  * obsfield     — the rung evaluation's O(O*T) reciprocal obstacle field
+                   removed
 
 Phase share = (t_full - t_ablated) / t_full.  Shares need not sum to 1
 (ablations overlap on compiler scheduling slack); they bound each phase's
@@ -79,7 +82,8 @@ def main():
     scns = mp.replicate_scenario(mp.reference_scenario(cfg), args.batch)
 
     rows = {}
-    for variant in (None, "ladder1", "dir_forward", "pullback"):
+    for variant in (None, "ladder1", "dir_forward", "pullback", "fk",
+                    "obsfield"):
         pallas_step._ABLATE = variant
         try:
             t = measure(cfg, basis, scns, args.repeats)

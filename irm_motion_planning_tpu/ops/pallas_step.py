@@ -118,11 +118,17 @@ _VMEM_BYTES_PER_ELT_ULTRA = 240
 # boundary: T=2200 plans (predicted real ~106 MiB), T=2400 does not (only
 # a knife-edge rb=64 fit would remain, ~0.3 MiB under the cap).
 _VMEM_BYTES_PER_ELT_ULTRA_GD = 195
+# bf16 ladder tier (BLS ultra with half-width (traj, vel, dir) ladder
+# planes): 4 of the ~30 double-buffered live f32 planes per joint drop to
+# 2 bytes — 240 - 4*J*4 = 192 with J=3.  Chip-validated at the tier's
+# admission boundary like the other constants (PROBLEMSIZE_r05).
+_VMEM_BYTES_PER_ELT_ULTRA_BF16 = 192
 
 
 def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
                         stream_rb: int = 0, lean: bool = False,
-                        ultra: bool = False, solver: str = "bls") -> int:
+                        ultra: bool = False, solver: str = "bls",
+                        bf16: bool = False) -> int:
     """Scoped-VMEM estimate for one kernel lane tile.
 
     ``stream_rb > 0`` is the TILED-T mode (SURVEY §5.7): the (2T, T) basis
@@ -136,7 +142,9 @@ def estimate_vmem_bytes(T: int, BT: int, O: int = 16,
         basis = 24 * stream_rb * T  # 2x dbl-buffered (RB,T)+(RB,2T) blocks
     else:
         basis = _VMEM_BYTES_PER_T2 * T * T
-    if ultra:
+    if ultra and bf16:
+        per_elt = _VMEM_BYTES_PER_ELT_ULTRA_BF16
+    elif ultra:
         per_elt = (_VMEM_BYTES_PER_ELT_ULTRA_GD if solver == "gd"
                    else _VMEM_BYTES_PER_ELT_ULTRA)
     elif lean:
@@ -178,6 +186,7 @@ class KernelPlan(NamedTuple):
     stream_rb: int = 0
     lean: bool = False
     ultra: bool = False
+    bf16: bool = False
 
 
 # Mosaic's REAL scoped usage for the streamed whole-solve kernel runs ~1.5x
@@ -206,6 +215,14 @@ _STREAM_LIMIT_FACTOR = 1.7
 # speed-invariant at T=1600.)
 _ULTRA_REAL_OVER_EST = 1.9
 _VMEM_ULTRA_CAP = 112 << 20
+# bf16 ladder tier: measured on-chip at T=2200/BT=128/rb=64 — Mosaic's
+# scoped allocation is 118.94 MiB against a 58.5 MB linear estimate
+# (real/est ~2.03; the bf16 plane savings are real: the f32-240 plan's
+# predicted real at this size is ~144 MiB).  118.94 exceeds the 112 MiB
+# ultra cap but fits under 120 MiB with the 128 MiB physical ceiling, so
+# bf16 plans get their own cap and admission ratio.
+_BF16_REAL_OVER_EST = 2.04
+_VMEM_BF16_CAP = 120 << 20
 
 
 def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int,
@@ -255,6 +272,23 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int,
             <= cap_tight
         ):
             return KernelPlan(bt, 64, True, True)
+    # bf16 ladder tier (BLS only): half-width ladder planes buy the last
+    # octave past the f32 ultra wall (T=2000 -> ~T=2400 by the calibrated
+    # model).  Quantized search directions are a chaos-class fp-path
+    # change, quality-gated distributionally — never silently: the tier
+    # only engages where every f32 plan is infeasible, i.e. the
+    # alternative is the XLA fallback (6.3x slower at this scale).
+    if solver == "bls":
+        cap_bf16 = int(_VMEM_BF16_CAP / _BF16_REAL_OVER_EST)
+        for bt in (512, 256, 128):
+            if B % bt != 0:
+                continue
+            if (
+                estimate_vmem_bytes(T, bt, O, stream_rb=64, lean=True,
+                                    ultra=True, solver=solver, bf16=True)
+                <= cap_bf16
+            ):
+                return KernelPlan(bt, 64, True, True, True)
     return None
 
 
@@ -308,7 +342,8 @@ def choose_block_b(cfg: PlannerConfig, T: int, B: int):
 
 def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
                      stream_rb: int = 0, lean: bool = False,
-                     ultra: bool = False, solver: str = "bls"):
+                     ultra: bool = False, solver: str = "bls",
+                     bf16: bool = False):
     """Kernel compiler params: the lane-tile grid axis is embarrassingly
     parallel (tiles never communicate), declared so Mosaic can pipeline it
     freely; the scoped-VMEM limit is raised when the estimate needs it
@@ -320,7 +355,9 @@ def _compiler_params(cfg: PlannerConfig, T: int, BT: int, interpret: bool,
                                lean=lean, ultra=ultra, solver=solver)
     kw = {"dimension_semantics": ("parallel",)}
     if need > (_VMEM_DEFAULT_LIMIT * 3) // 4:
-        if ultra:
+        if ultra and bf16:
+            kw["vmem_limit_bytes"] = _VMEM_BF16_CAP
+        elif ultra:
             # measured real/estimate is ~1.9 at T=1600 — grant ultra plans
             # the full ultra cap so the calibrated margin lives in ONE
             # place (the chooser's _ULTRA_REAL_OVER_EST feasibility test)
@@ -669,7 +706,7 @@ class _Body:
 def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
               start, goal, obs, lam_sg, lam_jl,
               alpha, grad, traj, vel, loss, bls_lr, minimized,
-              px=None, py=None, want_tv=True):
+              px=None, py=None, want_tv=True, bf16=False):
     """One BLS inner step on plane tuples (pure arrays, no refs): normalized
     direction, early-exiting Armijo ladder via the linearized evaluation,
     accepted step, fused cost/grad/eval at the new iterate, in-kernel lane
@@ -726,6 +763,20 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
         # muls+sub.
         dir_t = [cfg.lambda_reg * traj[j] + gtraj[j] for j in range(J)]
         dir_v = [cfg.lambda_reg * vel[j] + gvel[j] for j in range(J)]
+        if bf16:
+            # bf16 LADDER TIER (plans past the f32 ultra wall, BLS only):
+            # the ladder-resident (traj, vel, dir) planes are stored bf16 —
+            # 4 of the ~30 double-buffered live planes per joint drop to
+            # half width, moving the calibrated per-(t, lane) footprint
+            # from 240 to ~192 B and the tight-pass ceiling from T=2000 to
+            # T~2400 (see _VMEM_BYTES_PER_ELT_ULTRA_BF16).  Arithmetic on
+            # the rungs upcasts to f32 (jnp promotion); alpha, grad, the
+            # Armijo bookkeeping, and the accepted-step epilogue stay f32.
+            # Direction quantization (~4e-3 relative) is a chaos-class
+            # fp-path change — quality-gated distributionally like the
+            # fast-reciprocal lever, never bitwise.
+            dir_t = [d.astype(jnp.bfloat16) for d in dir_t]
+            dir_v = [d.astype(jnp.bfloat16) for d in dir_v]
 
     def rung_eval(c, lr_r):
         """One Armijo rung on ladder carry ``c`` (without the r/rung
@@ -741,8 +792,17 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
             a_fac_r = 1.0 - cfg.lambda_reg * lr_r
             cand_a = [a_fac_r * alpha[j] - lr_r * n_grad[j] for j in range(J)]
             cand_t, cand_v = body.forward_planes(bas, mix, cand_a)
-        ee_x, ee_y, cpx, cpy = body.fk_ee(cand_t)
-        cost_v = body.obstacle_cost_v(ee_x, ee_y, obs)
+        if _ABLATE == "fk":
+            # WRONG: skip the 2J sincos FK rollout (timing-only)
+            ee_x, ee_y = cand_t[0], cand_v[0]
+            cpx = cpy = cand_t
+        else:
+            ee_x, ee_y, cpx, cpy = body.fk_ee(cand_t)
+        if _ABLATE == "obsfield":
+            # WRONG: skip the O(O*T) reciprocal obstacle field (timing-only)
+            cost_v = ee_x + ee_y
+        else:
+            cost_v = body.obstacle_cost_v(ee_x, ee_y, obs)
         closs = body.scalar_cost(
             cand_t, cand_v, cost_v, start, goal, lam_sg, lam_jl
         )
@@ -769,6 +829,20 @@ def _bls_step(body: "_Body", cfg: PlannerConfig, bas: _BasisHandles, mix,
     # 79% <= 2, mean 3.19), so they skip the while-loop — and its Mosaic
     # per-iteration carry/select overhead — entirely.
     unroll = min(cfg.bls_ladder_unroll, n)
+
+    if bf16:
+        # PATH CONSISTENCY (see solvers/bls.py::_ladder_search): with
+        # quantized ladder planes the baseline must come from the same
+        # quantized path, or near-threshold accepts flip systematically.
+        # The zero-lr candidate is exactly upcast(traj): evaluate it like
+        # a rung and use its loss as the Armijo/stop baseline.
+        base_t = [traj[j].astype(jnp.float32) for j in range(J)]
+        base_v = [vel[j].astype(jnp.float32) for j in range(J)]
+        bee_x, bee_y, _, _ = body.fk_ee(base_t)
+        bcost_v = body.obstacle_cost_v(bee_x, bee_y, obs)
+        loss = body.scalar_cost(
+            base_t, base_v, bcost_v, start, goal, lam_sg, lam_jl
+        )
 
     c = (
         jnp.zeros((1, BT), jnp.float32),
@@ -1219,7 +1293,7 @@ def bls_inner_step(
 def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                        solver: str, stream_rb: int = 0,
                        per_round: bool = False, lean: bool = False,
-                       ultra: bool = False):
+                       ultra: bool = False, bf16: bool = False):
     """The VMEM-resident whole-solve kernel: the ENTIRE penalty-method dual
     optimization (ref: optimizer_BLS.py:183-211 / optimizer_GD.py:228-230)
     runs inside one kernel per lane tile — per-round fused re-evaluation,
@@ -1357,19 +1431,26 @@ def _make_solve_kernel(cfg: PlannerConfig, T: int, J: int, O: int, BT: int,
                     carry = ()
                 else:  # ultra: (traj, vel) are not carried
                     alpha, grad, loss, lr, minimized, icnt = sx
+                    kw = {}
                     if linearized_bls:
                         # the EXACT forward of the current iterate — the
                         # linearized within-step update never compounds
                         t_in, v_in = body.forward_planes(
                             bas, mix, list(alpha)
                         )
+                        if bf16:
+                            # bf16 ladder tier: the in-step ladder planes
+                            # are stored half-width (see _bls_step)
+                            t_in = [x.astype(jnp.bfloat16) for x in t_in]
+                            v_in = [x.astype(jnp.bfloat16) for x in v_in]
+                            kw = {"bf16": True}
                     else:
                         t_in = v_in = None  # GD: unused (want_tv=False)
                     a, g, _, _, lo, nlr, mn = step_fn(
                         body, cfg, bas, mix, start, goal, obs,
                         lam_sg, lam_jl,
                         list(alpha), list(grad), t_in, v_in,
-                        loss, lr, minimized, want_tv=False,
+                        loss, lr, minimized, want_tv=False, **kw,
                     )
                 stepped = jnp.logical_and(
                     minimized < 0.5, mn < 0.5
@@ -1519,7 +1600,8 @@ class PallasSolve(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean", "ultra"
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean",
+        "ultra", "bf16",
     ),
 )
 def fused_solve(
@@ -1535,6 +1617,7 @@ def fused_solve(
     interpret: bool = False,
     lean: bool = False,
     ultra: bool = False,
+    bf16: bool = False,
 ) -> PallasSolve:
     """The whole penalty-method solve as ONE kernel launch over the fleet
     (grid over lane tiles; all state VMEM-resident for the full solve —
@@ -1545,7 +1628,7 @@ def fused_solve(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
-                                lean=lean, ultra=ultra)
+                                lean=lean, ultra=ultra, bf16=bf16)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     outs = pl.pallas_call(
@@ -1569,7 +1652,7 @@ def fused_solve(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean, ultra, solver),
+                                         lean, ultra, solver, bf16),
     )(kv, kvt, mix, a0, lam_sg0, lam_jl0, start, goal, ox, oy, ow)
     return PallasSolve(*outs)
 
@@ -1585,7 +1668,8 @@ class PallasRound(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean", "ultra"
+        "cfg", "solver", "block_b", "stream_rb", "interpret", "lean",
+        "ultra", "bf16",
     ),
 )
 def fused_round(
@@ -1604,6 +1688,7 @@ def fused_round(
     interpret: bool = False,
     lean: bool = False,
     ultra: bool = False,
+    bf16: bool = False,
 ) -> PallasRound:
     """ONE penalty round as one kernel launch over the fleet: round-start
     fused eval, the inner descent loop, the in-kernel hard-constraint check.
@@ -1616,7 +1701,8 @@ def fused_round(
     BT = block_b
     assert B % BT == 0, f"batch {B} must be a multiple of block_b {BT}"
     kernel = _make_solve_kernel(cfg, T, J, O, BT, solver, stream_rb,
-                                per_round=True, lean=lean, ultra=ultra)
+                                per_round=True, lean=lean, ultra=ultra,
+                                bf16=bf16)
     kv, kvt = _pad_basis_cols(kv, kvt, stream_rb)
     full, lanes3, lanes2 = _specs(T, J, O, BT)
     nr = jnp.asarray(n_r, jnp.int32).reshape(1, 1)
@@ -1642,7 +1728,7 @@ def fused_round(
         scratch_shapes=_stream_scratch_shapes(T, stream_rb),
         interpret=interpret,
         compiler_params=_compiler_params(cfg, T, BT, interpret, stream_rb,
-                                         lean, ultra, solver),
+                                         lean, ultra, solver, bf16),
     )(nr, kv, kvt, mix, alpha, lam_sg, lam_jl, fulfilled, lr0,
       start, goal, ox, oy, ow)
     return PallasRound(*outs)

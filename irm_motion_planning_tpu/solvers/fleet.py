@@ -501,7 +501,7 @@ class _PallasOuter(NamedTuple):
 def _pallas_fused_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
-    lean: bool = False, ultra: bool = False,
+    lean: bool = False, ultra: bool = False, bf16: bool = False,
 ) -> SolveResult:
     """The whole dual solve as ONE VMEM-resident kernel launch (see
     ops/pallas_step.py::fused_solve): no per-step HBM state round-trips, no
@@ -516,7 +516,7 @@ def _pallas_fused_solve(
         scn.start, scn.goal,
         scn.obstacles[:, 0, :], scn.obstacles[:, 1, :], scn.obstacle_weight,
         solver=solver, block_b=block_b, stream_rb=stream_rb,
-        interpret=interpret, lean=lean, ultra=ultra,
+        interpret=interpret, lean=lean, ultra=ultra, bf16=bf16,
     )
     return SolveResult(
         alpha=alpha_from_fleet(jnp.moveaxis(out.alpha, 0, 1)),
@@ -533,7 +533,7 @@ def _pallas_fused_rounds_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
     compact: Optional[bool] = None, lean: bool = False,
-    ultra: bool = False,
+    ultra: bool = False, bf16: bool = False,
 ) -> SolveResult:
     """The dual solve as one fused-round kernel launch per penalty round
     (ops/pallas_step.py::fused_round), with optional between-round LANE
@@ -641,7 +641,7 @@ def _pallas_fused_rounds_solve(
             cfg, kv, kvt, mixm, alpha, lam_sg, lam_jl, ful, lr0, n_r,
             start, goal, ox, oy, ow,
             solver=solver, block_b=block_b, stream_rb=stream_rb,
-            interpret=interpret, lean=lean, ultra=ultra,
+            interpret=interpret, lean=lean, ultra=ultra, bf16=bf16,
         )
         # Penalty-escalation bookkeeping: op-for-op the whole-solve kernel's
         # in-kernel epilogue (same f32 arithmetic — bitwise identical).
@@ -671,7 +671,7 @@ def _pallas_fused_rounds_solve(
 def _pallas_solve(
     cfg: PlannerConfig, basis, scn: Scenario, a0, block_b: int,
     solver: str = "bls", stream_rb: int = 0, interpret: bool = False,
-    lean: bool = False, ultra: bool = False,
+    lean: bool = False, ultra: bool = False, bf16: bool = False,
 ) -> SolveResult:
     """Penalty-method dual loop with the fused Pallas kernels: one kernel
     launch per inner step (in-kernel lane freezing), one eval kernel per
@@ -1012,7 +1012,7 @@ def fleet_solve(
             return solve_impl(cfg, basis, fs, a0k, plan.block_b,
                               solver=solver, stream_rb=plan.stream_rb,
                               interpret=interpret, lean=plan.lean,
-                              ultra=plan.ultra)
+                              ultra=plan.ultra, bf16=plan.bf16)
     make_inner = {"bls": _make_bls_inner, "gd": _make_gd_inner}[solver]
     inner = make_inner(cfg, basis, fs)
     res = run_dual_loop(

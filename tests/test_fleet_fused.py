@@ -271,7 +271,8 @@ def test_kernel_plan_selection():
     assert p1800.stream_rb == 64
     p2000 = ps.choose_kernel_plan(auto, 2000, 4096, solver="bls")
     assert p2000 is not None and p2000.ultra and p2000.stream_rb == 64
-    assert ps.choose_kernel_plan(auto, 2200, 4096, solver="bls") is None
+    pb = ps.choose_kernel_plan(auto, 2200, 4096, solver="bls")
+    assert pb is not None and pb.bf16  # bf16 ladder tier (round 5)
     # Solver-aware ultra: GD's ladder-free stack measures ~366 B/(t, lane)
     # real vs BLS's (PROBLEMSIZE_r04.json), so GD reaches further still;
     # past its measured frontier the chooser must return None.
@@ -350,6 +351,54 @@ def test_ultra_mode(setup):
             diff = int(np.sum(np.asarray(r0.fulfilled)
                               != np.asarray(r1.fulfilled)))
             assert diff <= 1, f"{diff} BLS ultra fulfilled flags differ"
+
+
+def test_bf16_ladder_tier(setup):
+    """The bf16 ladder tier (ops/pallas_step.py::_bls_step bf16=True: the
+    in-step (traj, vel, dir) ladder planes stored half-width, Armijo/stop
+    baseline re-evaluated through the same quantized path) must produce
+    finite, close solutions with comparable convergence.  Direction
+    quantization is a chaos-class fp-path change, so the comparison is
+    loose/distributional, not bitwise (CLAUDE.md numerics invariants).
+    The tier only auto-engages past the f32 ultra wall (BLS T>2000,
+    choose_kernel_plan) where the alternative is the XLA fallback."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg, basis, scns = setup
+    args = _kernel_args(cfg, basis, jax.tree_util.tree_map(
+        lambda x: x[:16], scns))
+    r0 = ps.fused_solve(*args, solver="bls", block_b=16, interpret=True,
+                        lean=True, ultra=True)
+    r1 = ps.fused_solve(*args, solver="bls", block_b=16, interpret=True,
+                        lean=True, ultra=True, bf16=True)
+    a0_, a1_ = np.asarray(r0.alpha), np.asarray(r1.alpha)
+    assert np.isfinite(a1_).all()
+    # measured at this budget: max rel alpha diff 1.9%
+    np.testing.assert_allclose(a1_, a0_, rtol=0.05, atol=0.05)
+    f0 = float(np.asarray(r0.fulfilled).sum())
+    f1 = float(np.asarray(r1.fulfilled).sum())
+    assert abs(f0 - f1) <= 2, (f0, f1)
+
+
+def test_bf16_plan_only_past_f32_wall():
+    """choose_kernel_plan: the bf16 tier engages ONLY where every f32 plan
+    is infeasible (BLS T>2000 at the calibrated constants) and never for
+    GD (which reaches T=2400 in f32)."""
+    from irm_motion_planning_tpu.ops import pallas_step as ps
+
+    cfg = mp.PlannerConfig(pallas_block_b=0)
+    at2000 = ps.choose_kernel_plan(cfg.replace(n_timesteps=2000), 2000, 512)
+    assert at2000 is not None and not at2000.bf16
+    at2200 = ps.choose_kernel_plan(cfg.replace(n_timesteps=2200), 2200, 512)
+    assert at2200 is not None and at2200.bf16 and at2200.ultra
+    # Chip-calibrated admission (_BF16_REAL_OVER_EST 2.04, cap 120 MiB):
+    # T=2200 is the bf16 frontier; T=2400's predicted real usage ~131 MiB
+    # exceeds even the physical ceiling — XLA fallback.
+    assert ps.choose_kernel_plan(
+        cfg.replace(n_timesteps=2400), 2400, 512) is None
+    gd2400 = ps.choose_kernel_plan(
+        cfg.replace(n_timesteps=2400), 2400, 512, solver="gd")
+    assert gd2400 is not None and not gd2400.bf16
 
 
 def test_inner_schedule_ignored_when_early_exit(setup):
