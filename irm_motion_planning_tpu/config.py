@@ -220,6 +220,16 @@ class PlannerConfig:
     # (benchmarks/quality.py — cost distributions identical to 1e-4, same
     # converged fraction) and worth +3.3% kernel throughput.
     recip_newton: bool = False
+    # bf16 ladder tier for BLS past the f32 kernel wall (T > 2000): the
+    # in-step ladder planes are stored half-width, moving the fused-kernel
+    # ceiling to the chip-validated T=2200 at 4.3x the XLA fallback's
+    # speed and obstacle-cost parity (measured -0.2%) — but direction
+    # quantization caps endpoint-pinning precision: converged fraction
+    # 1.5% vs the fallback's 11.5% on T=2200 random scenes (uniform-15).
+    # OPT-IN because of that trade: default False routes T>2000 to the
+    # XLA fallback (quality-first); set True when throughput at extreme
+    # problem sizes matters more than the constraint-satisfaction rate.
+    bls_bf16_ladder: bool = False
 
     def __post_init__(self) -> None:
         if self.n_joints != len(self.link_length):

@@ -272,13 +272,12 @@ def choose_kernel_plan(cfg: PlannerConfig, T: int, B: int,
             <= cap_tight
         ):
             return KernelPlan(bt, 64, True, True)
-    # bf16 ladder tier (BLS only): half-width ladder planes buy the last
-    # octave past the f32 ultra wall (T=2000 -> ~T=2400 by the calibrated
-    # model).  Quantized search directions are a chaos-class fp-path
-    # change, quality-gated distributionally — never silently: the tier
-    # only engages where every f32 plan is infeasible, i.e. the
-    # alternative is the XLA fallback (6.3x slower at this scale).
-    if solver == "bls":
+    # bf16 ladder tier (BLS only, cfg.bls_bf16_ladder OPT-IN): half-width
+    # ladder planes buy T=2200 past the f32 ultra wall at 4.3x the XLA
+    # fallback and obstacle-cost parity — at a measured converged-fraction
+    # cost (1.5% vs 11.5%, direction quantization; see config.py).  Only
+    # engages where every f32 plan is infeasible AND the user opted in.
+    if solver == "bls" and cfg.bls_bf16_ladder:
         cap_bf16 = int(_VMEM_BF16_CAP / _BF16_REAL_OVER_EST)
         for bt in (512, 256, 128):
             if B % bt != 0:

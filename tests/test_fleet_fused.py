@@ -271,8 +271,13 @@ def test_kernel_plan_selection():
     assert p1800.stream_rb == 64
     p2000 = ps.choose_kernel_plan(auto, 2000, 4096, solver="bls")
     assert p2000 is not None and p2000.ultra and p2000.stream_rb == 64
-    pb = ps.choose_kernel_plan(auto, 2200, 4096, solver="bls")
-    assert pb is not None and pb.bf16  # bf16 ladder tier (round 5)
+    # bf16 ladder tier is OPT-IN (converged-fraction trade, config.py):
+    # default routes T=2200 to the XLA fallback; with the flag the
+    # chip-validated bf16 plan engages.
+    assert ps.choose_kernel_plan(auto, 2200, 4096, solver="bls") is None
+    pb = ps.choose_kernel_plan(
+        auto.replace(bls_bf16_ladder=True), 2200, 4096, solver="bls")
+    assert pb is not None and pb.bf16
     # Solver-aware ultra: GD's ladder-free stack measures ~366 B/(t, lane)
     # real vs BLS's (PROBLEMSIZE_r04.json), so GD reaches further still;
     # past its measured frontier the chooser must return None.
@@ -386,7 +391,7 @@ def test_bf16_plan_only_past_f32_wall():
     GD (which reaches T=2400 in f32)."""
     from irm_motion_planning_tpu.ops import pallas_step as ps
 
-    cfg = mp.PlannerConfig(pallas_block_b=0)
+    cfg = mp.PlannerConfig(pallas_block_b=0, bls_bf16_ladder=True)
     at2000 = ps.choose_kernel_plan(cfg.replace(n_timesteps=2000), 2000, 512)
     assert at2000 is not None and not at2000.bf16
     at2200 = ps.choose_kernel_plan(cfg.replace(n_timesteps=2200), 2200, 512)
