@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Heterogeneous-fleet mode (backend fused): re-sort "
                         "lanes between penalty rounds so kernel tiles "
                         "freeze together (bitwise-equal per lane)")
+    p.add_argument("--bls-bf16-ladder", type=_bool, default=False,
+                   help="Opt-in bf16 ladder tier for BLS past the f32 "
+                        "kernel wall (T > 2000): 4.3x the XLA fallback at "
+                        "obstacle-cost parity, at a documented converged-"
+                        "fraction cost (config.bls_bf16_ladder)")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="trajectory_result.txt")
@@ -208,6 +213,7 @@ def config_from_args(args) -> "PlannerConfig":
         max_obstacles=args.max_obstacles,
         pallas_block_b=args.pallas_block_b,
         recip_newton=args.recip_newton,
+        bls_bf16_ladder=args.bls_bf16_ladder,
         lane_compaction=args.lane_compaction,
     )
 
